@@ -1,0 +1,94 @@
+"""Experiment configs (dataclasses) — the reference's tf.app.flags surface
+(SURVEY.md section 1 L7) as typed configs, one named preset per
+BASELINE.json config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    dataset: str = "mpii"
+    train_pattern: str = ""
+    eval_pattern: str = ""
+    image_size: int = 224
+    resize_min: int | None = None       # default: image_size * 256/224
+    resize_max: int | None = None
+    # model
+    backbone: str = "resnet_v1_101"
+    pooling: str = "attention"          # avg | attention | pose_attention
+    rank: int = 1
+    use_pallas: bool = False
+    bf16_backbone: bool = True
+    # losses
+    pose_loss_weight: float = 0.1
+    label_smoothing: float = 0.0
+    weight_decay: float = 1e-4
+    # optimization (slim-era SGD+momentum defaults, SURVEY.md section 2.1)
+    optimizer: str = "momentum"         # momentum | adamw
+    learning_rate: float = 0.001
+    momentum: float = 0.9
+    lr_schedule: str = "exponential"    # exponential | cosine | constant
+    lr_decay_steps: int = 10_000
+    lr_decay_rate: float = 0.94
+    warmup_steps: int = 0
+    grad_clip_norm: float | None = None
+    # run
+    batch_size: int = 8                 # global batch
+    num_steps: int = 100_000
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every: int = 1000
+    workdir: str = "/tmp/attnpool_run"
+    init_checkpoint: str | None = None  # converted ImageNet ckpt (Orbax dir)
+    # mesh
+    mesh_shape: Sequence[int] = (1,)
+    mesh_axes: Sequence[str] = ("data",)
+    # eval
+    eval_batch_size: int = 8
+    eval_multicrop: int = 0             # 0 = single central crop
+
+    @property
+    def resize_min_resolved(self) -> int:
+        return self.resize_min or round(self.image_size * 256 / 224)
+
+    @property
+    def resize_max_resolved(self) -> int:
+        return self.resize_max or round(self.resize_min_resolved * 512 / 256)
+
+
+# one preset per BASELINE.json "configs" entry
+PRESETS: dict[str, TrainConfig] = {
+    # 1: "MPII single-frame action cls: ResNet-101 + rank-1 attentional
+    #     pooling, 224px, batch 8 (CPU-runnable ref)"
+    "mpii_rank1_224": TrainConfig(
+        dataset="mpii", pooling="attention", rank=1, image_size=224,
+        batch_size=8, bf16_backbone=False),
+    # 2: "HICO multi-label human-object interaction cls"
+    "hico_multilabel": TrainConfig(
+        dataset="hico", pooling="attention", rank=1, image_size=448,
+        batch_size=32, learning_rate=0.01),
+    # 3: "MPII pose-regularized variant"
+    "mpii_pose_attention": TrainConfig(
+        dataset="mpii", pooling="pose_attention", rank=1, image_size=448,
+        batch_size=32, pose_loss_weight=0.1, learning_rate=0.01),
+    # 4: "HMDB51 video: per-frame attn-pooled logits + temporal averaging"
+    "hmdb51_rgb": TrainConfig(
+        dataset="hmdb51", pooling="attention", rank=1, image_size=224,
+        batch_size=64, learning_rate=0.01),
+    # 5: "High-res multi-rank: rank-k bilinear pooling at 450px, multi-crop
+    #     eval on TPU mesh"
+    "mpii_rank5_450_mesh": TrainConfig(
+        dataset="mpii", pooling="attention", rank=5, image_size=450,
+        batch_size=64, mesh_shape=(8,), eval_multicrop=3,
+        learning_rate=0.01, use_pallas=True),
+}
+
+
+def get_config(name: str, **overrides) -> TrainConfig:
+    cfg = dataclasses.replace(PRESETS[name], **overrides)
+    return cfg

@@ -1,0 +1,141 @@
+"""Input pipelines: tf.data TFRecord readers feeding numpy batches to the
+jit'd step, with per-host sharding over a JAX mesh.
+
+Replaces the reference's TF1 queue-runner path (SURVEY.md section 3.1 steps
+2-4).  Decode/augment runs on host CPU threads inside tf.data's C++ runtime;
+``prefetch_to_device`` overlaps host batch prep + H2D transfer with the
+device step so the TPU never waits on input (SURVEY.md section 7 step 8).
+
+Per-host sharding: each JAX process reads a disjoint shard of the record
+files/examples (``shard(num_processes, process_index)``), the standard
+multi-host JAX data-parallel recipe.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from attentionalpoolingaction_tpu.data import records as rec
+from attentionalpoolingaction_tpu.data import preprocessing as pp
+from attentionalpoolingaction_tpu.data.datasets import DatasetSpec
+
+
+def _base_dataset(file_pattern, spec: DatasetSpec, *, shuffle: bool,
+                  seed: int, shard_by_process: bool):
+    import tensorflow as tf
+
+    files = tf.data.Dataset.list_files(file_pattern, shuffle=False)
+    ds = tf.data.TFRecordDataset(files, num_parallel_reads=tf.data.AUTOTUNE)
+    if shard_by_process and jax.process_count() > 1:
+        ds = ds.shard(jax.process_count(), jax.process_index())
+    if shuffle:
+        ds = ds.shuffle(4096, seed=seed, reshuffle_each_iteration=True)
+    desc = rec.feature_description(spec)
+    return ds.map(lambda x: tf.io.parse_single_example(x, desc),
+                  num_parallel_calls=tf.data.AUTOTUNE)
+
+
+def _to_features(parsed, spec: DatasetSpec, *, image_size, is_training,
+                 resize_min, resize_max):
+    """Map a parsed example to the model's feature dict (TF ops)."""
+    import tensorflow as tf
+
+    image, transform = pp.preprocess_image_tf(
+        parsed["image/encoded"], out_size=image_size,
+        is_training=is_training, resize_min=resize_min,
+        resize_max=resize_max)
+    out = {"image": image, "transform": transform}
+    if spec.multi_label:
+        out["label"] = tf.cast(parsed["image/class/multi_hot"], tf.float32)
+    else:
+        out["label"] = tf.cast(parsed["image/class/label"], tf.int32)
+    if spec.has_pose:
+        out["keypoints"] = tf.reshape(
+            parsed["image/pose/keypoints"], [spec.num_joints, 2])
+        out["visibility"] = parsed["image/pose/visibility"]
+    if spec.is_video:
+        out["video_id"] = tf.cast(parsed["video/id"], tf.int32)
+    return out
+
+
+def make_train_iterator(file_pattern, spec: DatasetSpec, *,
+                        batch_size: int, image_size: int,
+                        resize_min: int | None = None,
+                        resize_max: int | None = None,
+                        seed: int = 0,
+                        shard_by_process: bool = True) -> Iterator[dict]:
+    """Infinite shuffled train iterator of numpy batches (per-host batch)."""
+    import tensorflow as tf
+
+    resize_min = resize_min or image_size
+    resize_max = resize_max or int(resize_min * 512 / 256)
+    ds = _base_dataset(file_pattern, spec, shuffle=True, seed=seed,
+                       shard_by_process=shard_by_process)
+    ds = ds.repeat()
+    ds = ds.map(
+        lambda p: _to_features(p, spec, image_size=image_size,
+                               is_training=True, resize_min=resize_min,
+                               resize_max=resize_max),
+        num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size, drop_remainder=True)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+    return ds.as_numpy_iterator()
+
+
+def make_eval_iterator(file_pattern, spec: DatasetSpec, *,
+                       batch_size: int, image_size: int,
+                       resize_min: int | None = None,
+                       pad_to_batch: bool = True,
+                       shard_by_process: bool = False) -> Iterator[dict]:
+    """One-pass eval iterator.  Pads the final short batch (with a ``mask``
+    key) so shapes stay static for jit."""
+    import tensorflow as tf
+
+    resize_min = resize_min or image_size
+    ds = _base_dataset(file_pattern, spec, shuffle=False, seed=0,
+                       shard_by_process=shard_by_process)
+    ds = ds.map(
+        lambda p: _to_features(p, spec, image_size=image_size,
+                               is_training=False, resize_min=resize_min,
+                               resize_max=None),
+        num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size, drop_remainder=False)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+
+    def gen():
+        for batch in ds.as_numpy_iterator():
+            n = batch["image"].shape[0]
+            batch["mask"] = np.ones((n,), np.float32)
+            if pad_to_batch and n < batch_size:
+                padded = {}
+                for k, v in batch.items():
+                    pad = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
+                    padded[k] = np.pad(v, pad)
+                batch = padded
+            yield batch
+
+    return gen()
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Overlap host batch production + H2D copy with device compute: keep
+    ``size`` batches in flight on device (jax.device_put is async).  Pass a
+    NamedSharding to place global batches across a mesh."""
+    queue = collections.deque()
+
+    def _put(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    for batch in iterator:
+        queue.append(_put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,182 @@
+"""TFRecord example schema, parsers, and writers.
+
+The reference stores {jpeg bytes, action label(s), pose keypoints} per
+example in sharded TFRecords (SURVEY.md sections 1 L1 and 3.3).  Exact proto
+keys of the reference are unknowable this session (empty mount), so this
+module defines the framework's canonical schema; the conversion scripts
+(data/convert_*.py) emit it and the parsers below read it.
+
+Feature keys:
+  image/encoded        bytes   JPEG
+  image/height, /width int64
+  image/class/label    int64   single class id (MPII, HMDB51)
+  image/class/multi_hot int64[] C-length 0/1 vector (HICO)
+  image/pose/keypoints  float[] K*2 (y, x) image-pixel coords (MPII)
+  image/pose/visibility float[] K     0/1
+  video/id             int64   video index (HMDB51 per-frame records)
+  video/frame          int64   frame index within the video
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Pure-python TFRecord framing (write + read) — no TF needed for synthetic
+# data or the lightweight record reader.  Format: per record,
+#   uint64 length | uint32 masked-crc(length) | bytes data | uint32 crc(data)
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (0x82F63B78 ^ (c >> 1)) if (c & 1) else (c >> 1)
+            table.append(c)
+        _CRC_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def write_tfrecord(path, serialized_examples):
+    """Write serialized example protos to a TFRecord file."""
+    with open(path, "wb") as f:
+        for data in serialized_examples:
+            length = struct.pack("<Q", len(data))
+            f.write(length)
+            f.write(struct.pack("<I", _masked_crc(length)))
+            f.write(data)
+            f.write(struct.pack("<I", _masked_crc(data)))
+
+
+def read_tfrecord(path):
+    """Yield serialized example protos from a TFRecord file."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            data = f.read(length)
+            f.read(4)  # data crc
+            yield data
+
+
+# ---------------------------------------------------------------------------
+# Example proto construction (via TF when available; these run offline in
+# conversion scripts and tests, not on the training hot path).
+# ---------------------------------------------------------------------------
+
+def make_example(image_jpeg: bytes, *, height: int, width: int,
+                 label: int | None = None,
+                 multi_hot: np.ndarray | None = None,
+                 keypoints: np.ndarray | None = None,
+                 visibility: np.ndarray | None = None,
+                 video_id: int | None = None,
+                 frame: int | None = None) -> bytes:
+    import tensorflow as tf
+
+    def _bytes(v):
+        return tf.train.Feature(bytes_list=tf.train.BytesList(value=[v]))
+
+    def _ints(v):
+        return tf.train.Feature(
+            int64_list=tf.train.Int64List(value=np.asarray(v).reshape(-1)))
+
+    def _floats(v):
+        return tf.train.Feature(
+            float_list=tf.train.FloatList(
+                value=np.asarray(v, np.float32).reshape(-1)))
+
+    feat = {
+        "image/encoded": _bytes(image_jpeg),
+        "image/height": _ints([height]),
+        "image/width": _ints([width]),
+    }
+    if label is not None:
+        feat["image/class/label"] = _ints([label])
+    if multi_hot is not None:
+        feat["image/class/multi_hot"] = _ints(multi_hot)
+    if keypoints is not None:
+        feat["image/pose/keypoints"] = _floats(keypoints)
+        feat["image/pose/visibility"] = _floats(
+            visibility if visibility is not None
+            else np.ones(len(keypoints)))
+    if video_id is not None:
+        feat["video/id"] = _ints([video_id])
+        feat["video/frame"] = _ints([frame or 0])
+    ex = tf.train.Example(features=tf.train.Features(feature=feat))
+    return ex.SerializeToString()
+
+
+def feature_description(spec):
+    """tf.io parse spec for a DatasetSpec."""
+    import tensorflow as tf
+
+    desc = {
+        "image/encoded": tf.io.FixedLenFeature([], tf.string),
+        "image/height": tf.io.FixedLenFeature([], tf.int64, 0),
+        "image/width": tf.io.FixedLenFeature([], tf.int64, 0),
+    }
+    if spec.multi_label:
+        desc["image/class/multi_hot"] = tf.io.FixedLenFeature(
+            [spec.num_classes], tf.int64)
+    else:
+        desc["image/class/label"] = tf.io.FixedLenFeature([], tf.int64)
+    if spec.has_pose:
+        desc["image/pose/keypoints"] = tf.io.FixedLenFeature(
+            [spec.num_joints * 2], tf.float32)
+        desc["image/pose/visibility"] = tf.io.FixedLenFeature(
+            [spec.num_joints], tf.float32)
+    if spec.is_video:
+        desc["video/id"] = tf.io.FixedLenFeature([], tf.int64)
+        desc["video/frame"] = tf.io.FixedLenFeature([], tf.int64, 0)
+    return desc
+
+
+def write_synthetic_dataset(path, spec, num_examples, *, image_size=64,
+                            seed=0, frames_per_video=4):
+    """Emit a tiny synthetic TFRecord split for tests / CPU-runnable configs
+    (SURVEY.md section 4 item 3: 'tiny synthetic TFRecords ... driving
+    train->eval end-to-end on CPU')."""
+    import tensorflow as tf
+
+    rng = np.random.default_rng(seed)
+    examples = []
+    for i in range(num_examples):
+        img = rng.integers(0, 255, (image_size, image_size, 3), np.uint8)
+        jpeg = tf.io.encode_jpeg(img).numpy()
+        kw = dict(height=image_size, width=image_size)
+        if spec.multi_label:
+            mh = (rng.random(spec.num_classes) > 0.8).astype(np.int64)
+            mh[rng.integers(spec.num_classes)] = 1
+            kw["multi_hot"] = mh
+        else:
+            kw["label"] = int(rng.integers(spec.num_classes))
+        if spec.has_pose:
+            kw["keypoints"] = rng.uniform(
+                0, image_size, (spec.num_joints, 2)).astype(np.float32)
+            kw["visibility"] = (
+                rng.random(spec.num_joints) > 0.2).astype(np.float32)
+        if spec.is_video:
+            kw["video_id"] = i // frames_per_video
+            kw["frame"] = i % frames_per_video
+        examples.append(make_example(jpeg, **kw))
+    write_tfrecord(path, examples)
+    return path

@@ -1,0 +1,113 @@
+"""Evaluation driver: restore checkpoint, stream a split, accumulate
+(logits, labels), compute mAP (MPII/HICO) or per-video accuracy (HMDB51).
+
+TPU-native replacement for the reference's slim.evaluation eval.py
+(SURVEY.md sections 2.1 "Eval driver" and 3.2): the forward pass is one
+jit'd program (optionally sharded over the mesh ``data`` axis and over
+multi-crop groups), metric reduction happens on host in NumPy.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from attentionalpoolingaction_tpu import config as config_lib
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+from attentionalpoolingaction_tpu.ops import metrics as metrics_lib
+from attentionalpoolingaction_tpu.train import build_model
+
+log = logging.getLogger(__name__)
+
+
+def make_eval_step(model, mesh=None):
+    def step_fn(params, batch_stats, images):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images)
+        return out["logits"]
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, in_shardings=(repl, repl, data),
+                   out_shardings=data)
+
+
+def make_multicrop_eval_step(model, mesh=None):
+    """Forward (B, num_crops, H, W, 3) and average logits over crops.  On a
+    mesh the crop dim folds into the sharded batch dim, so crops of one image
+    can evaluate on different chips (SURVEY.md section 2.3 SP row)."""
+    def step_fn(params, batch_stats, images):
+        b, c = images.shape[:2]
+        flat = images.reshape((b * c,) + images.shape[2:])
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, flat)
+        return jnp.mean(out["logits"].reshape(b, c, -1), axis=1)
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, in_shardings=(repl, repl, data),
+                   out_shardings=data)
+
+
+def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
+             mesh=None, max_batches=None):
+    """Returns a metrics dict for the configured dataset's protocol."""
+    from attentionalpoolingaction_tpu.data import pipeline
+
+    spec = get_dataset(cfg.dataset)
+    model = build_model(cfg)
+    multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
+               else make_eval_step(model, mesh))
+
+    if eval_iter is None:
+        eval_iter = pipeline.make_eval_iterator(
+            cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+            image_size=cfg.image_size, resize_min=cfg.resize_min_resolved)
+
+    all_logits, all_labels, all_masks, all_vids = [], [], [], []
+    for i, batch in enumerate(eval_iter):
+        if max_batches is not None and i >= max_batches:
+            break
+        logits = step_fn(state.params, state.batch_stats, batch["image"])
+        all_logits.append(np.asarray(logits))
+        all_labels.append(np.asarray(batch["label"]))
+        all_masks.append(np.asarray(batch["mask"]))
+        if spec.is_video:
+            all_vids.append(np.asarray(batch["video_id"]))
+
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    mask = np.concatenate(all_masks).astype(bool)
+    logits, labels = logits[mask], labels[mask]
+
+    results = {"num_examples": int(mask.sum())}
+    if spec.eval_metric == "map":
+        if not spec.multi_label:
+            onehot = np.zeros_like(logits)
+            onehot[np.arange(labels.size), labels] = 1.0
+            labels_mh = onehot
+        else:
+            labels_mh = labels
+        m, aps = metrics_lib.mean_average_precision(labels_mh, logits)
+        results["mAP"] = m
+        results["num_eval_classes"] = int(np.sum(~np.isnan(aps)))
+        if not spec.multi_label:
+            results["accuracy"] = metrics_lib.accuracy(labels, logits)
+    else:  # HMDB51: per-video temporal averaging then accuracy
+        vids = np.concatenate(all_vids)[mask]
+        _, avg, vid_labels = metrics_lib.video_average_logits(
+            vids, logits, labels)
+        results["accuracy"] = metrics_lib.accuracy(vid_labels, avg)
+        results["per_frame_accuracy"] = metrics_lib.accuracy(labels, logits)
+        results["num_videos"] = int(avg.shape[0])
+    log.info("eval %s: %s", cfg.dataset, results)
+    return results

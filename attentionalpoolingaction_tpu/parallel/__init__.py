@@ -1,0 +1,9 @@
+"""Mesh / sharding utilities (pjit data-parallel + optional model axis)."""
+
+from attentionalpoolingaction_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated"]

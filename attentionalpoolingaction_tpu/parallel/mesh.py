@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The reference has no parallelism beyond one GPU (SURVEY.md section 2.3); the
+TPU-native framework scales with a ``jax.sharding.Mesh``:
+
+  * ``data`` axis — batch/data parallelism (gradient psum inserted by the
+    compiler; rides ICI on a pod slice).
+  * optional ``model`` axis — shards the attentional-pooling head's class
+    dimension (C=600 for HICO) and the 2048-dim feature axis; unnecessary at
+    ResNet-101 scale but wired through for completeness.
+
+All collective placement is left to XLA via NamedSharding annotations — no
+hand-written collectives on the training path (ICI-aware by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Sequence[int] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Build a mesh over all visible devices.  ``shape=None`` puts every
+    device on the first axis."""
+    devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {n} devices, "
+            f"have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host-global numpy batch onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,266 @@
+"""Training driver: loss assembly, optimizer, jit/pjit train step, loop.
+
+TPU-native replacement for the reference's slim.learning.train driver
+(SURVEY.md sections 2.1 "Train driver" and 3.1): one fused XLA program per
+step (forward + losses + backward + optimizer update + gradient psum over
+the mesh ``data`` axis), donated state buffers, Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from attentionalpoolingaction_tpu import config as config_lib
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+from attentionalpoolingaction_tpu.models.factory import get_model
+from attentionalpoolingaction_tpu.ops import heatmap as hm
+from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
+
+log = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def feature_size(image_size: int) -> int:
+    """Output spatial size of the stride-32 ResNet-v1 tail (five ceil-div-2
+    stages: conv1/2, pool/2, block1/2, block2/2, block3/2; block4 stride 1)."""
+    s = image_size
+    for _ in range(5):
+        s = -(-s // 2)
+    return s
+
+
+def make_learning_rate(cfg: config_lib.TrainConfig):
+    if cfg.lr_schedule == "constant":
+        sched = optax.constant_schedule(cfg.learning_rate)
+    elif cfg.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.num_steps - cfg.warmup_steps)
+    elif cfg.lr_schedule == "exponential":
+        # slim's exponential_decay(staircase=True) (SURVEY.md section 2.1)
+        sched = optax.exponential_decay(
+            cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate,
+            staircase=True)
+    else:
+        raise ValueError(cfg.lr_schedule)
+    if cfg.warmup_steps:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+             sched], [cfg.warmup_steps])
+    return sched
+
+
+def _decay_mask(params):
+    """Weight decay applies to conv/dense kernels and pooling weights, not to
+    BN scale/offset or biases (slim's regularizer placement)."""
+    def mask(path, x):
+        del x
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return name in ("kernel", "attn_w", "sal_w")
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_optimizer(cfg: config_lib.TrainConfig):
+    sched = make_learning_rate(cfg)
+    if cfg.optimizer == "momentum":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
+            optax.sgd(sched, momentum=cfg.momentum),
+        )
+    elif cfg.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                         mask=_decay_mask)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx
+
+
+def classification_loss(logits, labels, *, multi_label: bool,
+                        label_smoothing: float = 0.0, mask=None):
+    """Softmax CE (MPII/HMDB) or per-class sigmoid CE (HICO) — SURVEY.md
+    section 3.1 step 7."""
+    if multi_label:
+        per = optax.sigmoid_binary_cross_entropy(logits, labels).sum(-1)
+    else:
+        num_classes = logits.shape[-1]
+        onehot = jax.nn.one_hot(labels, num_classes)
+        if label_smoothing:
+            onehot = (onehot * (1 - label_smoothing)
+                      + label_smoothing / num_classes)
+        per = optax.softmax_cross_entropy(logits, onehot)
+    if mask is not None:
+        return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(per)
+
+
+def pose_targets(batch, *, image_size: int, num_joints: int,
+                 sigma: float = 1.0):
+    """Render device-side pose heatmap targets at feature-map resolution,
+    consistent with the preprocessing crop/flip (transform carried by the
+    pipeline — data/preprocessing.py docstring)."""
+    fs = feature_size(image_size)
+    stride = image_size / fs
+    t = batch["transform"]  # (B, 5): scale_y, scale_x, oy, ox, flip
+
+    def per_example(kps, vis, tr):
+        kps_c, vis_c = hm.transform_keypoints(
+            kps, vis, scale_y=tr[0], scale_x=tr[1], offset_y=tr[2],
+            offset_x=tr[3], flip=tr[4] > 0, width=image_size)
+        kps_f = kps_c / stride
+        return hm.render_gaussian_heatmaps(kps_f, vis_c, fs, fs,
+                                           sigma=sigma), vis_c
+
+    heat, vis = jax.vmap(per_example)(
+        batch["keypoints"], batch["visibility"], t)
+    # background channel: 1 - strongest joint response (pose head predicts
+    # num_joints + 1 channels)
+    bg = jnp.clip(1.0 - jnp.max(heat, axis=-1, keepdims=True), 0.0, 1.0)
+    target = jnp.concatenate([heat, bg], axis=-1)
+    vis_b = jnp.concatenate([vis, jnp.ones_like(vis[..., :1])], axis=-1)
+    return target, vis_b
+
+
+def make_loss_fn(model, spec, cfg: config_lib.TrainConfig):
+    def loss_fn(params, batch_stats, batch, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, updates = model.apply(
+                variables, batch["image"], train=True,
+                mutable=["batch_stats"])
+            new_stats = updates["batch_stats"]
+        else:
+            out = model.apply(variables, batch["image"])
+            new_stats = batch_stats
+
+        cls_loss = classification_loss(
+            out["logits"], batch["label"], multi_label=spec.multi_label,
+            label_smoothing=cfg.label_smoothing, mask=batch.get("mask"))
+        metrics = {"loss/cls": cls_loss}
+        total = cls_loss
+        if cfg.pooling == "pose_attention" and spec.has_pose:
+            target, visb = pose_targets(
+                batch, image_size=cfg.image_size,
+                num_joints=spec.num_joints)
+            pose_loss = hm.pose_l2_loss(out["pose_heatmaps"], target, visb)
+            metrics["loss/pose"] = pose_loss
+            total = total + cfg.pose_loss_weight * pose_loss
+        metrics["loss/total"] = total
+        return total, (new_stats, metrics)
+
+    return loss_fn
+
+
+def create_state(cfg: config_lib.TrainConfig, *, rng=None) -> TrainState:
+    spec = get_dataset(cfg.dataset)
+    model = build_model(cfg)
+    rng = rng if rng is not None else jax.random.key(cfg.seed)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    ), spec, model, tx
+
+
+def build_model(cfg: config_lib.TrainConfig):
+    spec = get_dataset(cfg.dataset)
+    return get_model(
+        cfg.backbone, num_classes=spec.num_classes, pooling=cfg.pooling,
+        rank=cfg.rank, num_joints=spec.num_joints,
+        use_pallas=cfg.use_pallas,
+        dtype=jnp.bfloat16 if cfg.bf16_backbone else jnp.float32)
+
+
+def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
+    """Build the jit'd train step.  With a mesh, batch args are sharded over
+    the ``data`` axis and state is replicated; XLA inserts the gradient
+    all-reduce (SURVEY.md section 2.4)."""
+    loss_fn = make_loss_fn(model, spec, cfg)
+
+    def step_fn(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, True)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
+          checkpoint_manager=None, hooks=()):
+    """Run the training loop.  ``train_iter`` yields numpy batches (built
+    from data.pipeline when not injected — tests inject synthetic ones)."""
+    from attentionalpoolingaction_tpu.data import pipeline
+
+    state, spec, model, tx = create_state(cfg)
+    mesh = None
+    if len(jax.devices()) > 1 and cfg.mesh_shape and (
+            int(jnp.prod(jnp.asarray(cfg.mesh_shape))) > 1):
+        mesh = mesh_lib.make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    step_fn = make_train_step(model, spec, cfg, tx, mesh)
+
+    if train_iter is None:
+        train_iter = pipeline.make_train_iterator(
+            cfg.train_pattern, spec, batch_size=cfg.batch_size,
+            image_size=cfg.image_size, resize_min=cfg.resize_min_resolved,
+            resize_max=cfg.resize_max_resolved, seed=cfg.seed)
+    if mesh is not None:
+        train_iter = pipeline.prefetch_to_device(
+            train_iter, sharding=mesh_lib.batch_sharding(mesh))
+    else:
+        train_iter = pipeline.prefetch_to_device(train_iter)
+
+    num_steps = num_steps or cfg.num_steps
+    history = []
+    t0 = time.time()
+    for _ in range(num_steps):
+        batch = next(train_iter)
+        state, metrics = step_fn(state, batch)
+        step = int(state.step)
+        if step % cfg.log_every == 0 or step == num_steps:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            log.info("step %d %s (%.2f s)", step, metrics, dt)
+            history.append({"step": step, **metrics})
+        if checkpoint_manager is not None and (
+                step % cfg.checkpoint_every == 0 or step == num_steps):
+            from attentionalpoolingaction_tpu import checkpoint as ckpt
+            ckpt.save(checkpoint_manager, state)
+        for hook in hooks:
+            hook(step, state)
+    return state, history
