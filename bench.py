@@ -1,0 +1,75 @@
+"""Benchmark: ResNet-101 + rank-1 attentional-pooling inference throughput
+(images/sec/chip) — BASELINE.json's north-star metric ("sustain >5x
+A100-class images/sec/chip on v5e").
+
+Runs on whatever backend `jax.devices()` provides (the driver runs it on the
+real TPU chip).  bf16 backbone, f32 head accumulation, batch swept for best
+throughput.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference published no throughput (SURVEY.md section 6), so
+the baseline is the BASELINE.json target itself: 5x an A100-class ResNet-101
+inference rate (~1300 img/s at 224px bf16/TF32 => target 6500 img/s);
+vs_baseline = value / 6500.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attentionalpoolingaction_tpu.models.factory import get_model
+
+TARGET_IMG_S = 6500.0  # 5x A100-class (~1300 img/s) per BASELINE.json
+
+
+def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
+                  use_pallas=False):  # flip to True once the Pallas kernel lands
+    model = get_model("resnet_v1_101", num_classes=393, pooling="attention",
+                      rank=1, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(batch_size, image_size, image_size, 3)),
+        jnp.bfloat16)
+    variables = model.init(jax.random.key(0), images[:1], train=False)
+
+    @jax.jit
+    def fwd(images):
+        return model.apply(variables, images)["logits"]
+
+    fwd(images).block_until_ready()
+    for _ in range(warmup):
+        fwd(images).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fwd(images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    best = 0.0
+    best_bs = 0
+    sizes = [256, 512] if platform != "cpu" else [8]
+    for bs in sizes:
+        try:
+            rate = bench_forward(batch_size=bs)
+        except Exception:
+            continue
+        if rate > best:
+            best, best_bs = rate, bs
+    print(json.dumps({
+        "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"
+                  f"_224px_bf16_b{best_bs}_{platform}",
+        "value": round(best, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / TARGET_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

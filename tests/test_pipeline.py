@@ -1,0 +1,88 @@
+"""Data layer: TFRecord framing, synthetic datasets, tf.data pipelines."""
+
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu.data import records as rec
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+from attentionalpoolingaction_tpu.data import pipeline
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    payloads = [b"hello", b"", b"world" * 100]
+    rec.write_tfrecord(path, payloads)
+    assert list(rec.read_tfrecord(path)) == payloads
+
+
+def test_tfrecord_readable_by_tf(tmp_path):
+    import tensorflow as tf
+
+    path = str(tmp_path / "x.tfrecord")
+    rec.write_tfrecord(path, [b"abc", b"defg"])
+    got = [r.numpy() for r in tf.data.TFRecordDataset(path)]
+    assert got == [b"abc", b"defg"]
+
+
+@pytest.mark.parametrize("name", ["mpii", "hico", "hmdb51"])
+def test_synthetic_dataset_parses(tmp_path, name):
+    import tensorflow as tf
+
+    spec = get_dataset(name)
+    path = str(tmp_path / f"{name}.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 6, image_size=48)
+    desc = rec.feature_description(spec)
+    n = 0
+    for raw in tf.data.TFRecordDataset(path):
+        parsed = tf.io.parse_single_example(raw, desc)
+        assert parsed["image/encoded"].dtype == tf.string
+        if spec.multi_label:
+            assert parsed["image/class/multi_hot"].shape == (spec.num_classes,)
+        if spec.has_pose:
+            assert parsed["image/pose/keypoints"].shape == (
+                spec.num_joints * 2,)
+        n += 1
+    assert n == 6
+
+
+def test_train_iterator_shapes(tmp_path):
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "t.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 10, image_size=80)
+    it = pipeline.make_train_iterator(
+        path, spec, batch_size=4, image_size=64, resize_min=72,
+        resize_max=90, shard_by_process=False)
+    batch = next(it)
+    assert batch["image"].shape == (4, 64, 64, 3)
+    assert batch["image"].dtype == np.float32
+    assert batch["transform"].shape == (4, 5)
+    assert batch["label"].shape == (4,)
+    assert batch["keypoints"].shape == (4, 16, 2)
+    assert batch["visibility"].shape == (4, 16)
+    # mean-subtracted pixels: roughly centered
+    assert abs(batch["image"].mean()) < 80
+
+
+def test_eval_iterator_pads_final_batch(tmp_path):
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "e.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 5, image_size=80)
+    batches = list(pipeline.make_eval_iterator(
+        path, spec, batch_size=4, image_size=64, resize_min=72))
+    assert len(batches) == 2
+    assert batches[1]["image"].shape == (4, 64, 64, 3)
+    np.testing.assert_array_equal(batches[1]["mask"], [1, 0, 0, 0])
+    # eval preprocessing is deterministic
+    again = list(pipeline.make_eval_iterator(
+        path, spec, batch_size=4, image_size=64, resize_min=72))
+    np.testing.assert_allclose(batches[0]["image"], again[0]["image"])
+
+
+def test_eval_iterator_video_ids(tmp_path):
+    spec = get_dataset("hmdb51")
+    path = str(tmp_path / "v.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 8, image_size=64,
+                                frames_per_video=4)
+    batches = list(pipeline.make_eval_iterator(
+        path, spec, batch_size=8, image_size=64))
+    assert set(batches[0]["video_id"]) == {0, 1}

@@ -1,0 +1,127 @@
+"""Multi-device sharding on the 8-virtual-CPU-device mesh: pjit train step
+with data-parallel gradient psum, sharded eval, multi-crop eval
+(SURVEY.md section 4 item 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu import evaluate as eval_lib
+from attentionalpoolingaction_tpu import train as train_lib
+from attentionalpoolingaction_tpu.config import TrainConfig
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
+
+
+def cfg8(**kw):
+    base = dict(
+        dataset="mpii", backbone="resnet_v1_50", pooling="attention",
+        rank=1, image_size=64, batch_size=16, bf16_backbone=False,
+        learning_rate=1e-3, grad_clip_norm=10.0, lr_schedule="constant",
+        mesh_shape=(8,))
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def synth_batch(cfg, spec, rng, with_pose=False):
+    b = cfg.batch_size
+    batch = {
+        "image": rng.normal(size=(b, cfg.image_size, cfg.image_size, 3)
+                            ).astype(np.float32),
+        "label": rng.integers(0, spec.num_classes, b).astype(np.int32),
+        "transform": np.tile(
+            np.array([1.0, 1.0, 0.0, 0.0, 0.0], np.float32), (b, 1)),
+    }
+    if with_pose:
+        batch["keypoints"] = rng.uniform(
+            0, cfg.image_size, (b, 16, 2)).astype(np.float32)
+        batch["visibility"] = np.ones((b, 16), np.float32)
+    return batch
+
+
+def test_mesh_creation():
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    assert mesh.shape == {"data": 8}
+    assert len(jax.devices()) == 8
+
+
+def test_pjit_train_step_runs_and_shards(rng):
+    cfg = cfg8()
+    spec = get_dataset(cfg.dataset)
+    state, _, model, tx = train_lib.create_state(cfg)
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    step_fn = train_lib.make_train_step(model, spec, cfg, tx, mesh)
+    batch = mesh_lib.shard_batch(synth_batch(cfg, spec, rng), mesh)
+    # input batch is really sharded over 8 devices
+    assert len(batch["image"].sharding.device_set) == 8
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss/total"]))
+    # params replicated after the step
+    p0 = jax.tree.leaves(state.params)[0]
+    assert p0.sharding.is_fully_replicated
+
+
+def test_pjit_matches_single_device(rng):
+    """Gradient psum over the mesh must reproduce single-device training."""
+    cfg = cfg8(batch_size=8)
+    spec = get_dataset(cfg.dataset)
+    state1, _, model, tx = train_lib.create_state(cfg)
+    # deep-copy: the single-device step donates (and deletes) state1 buffers
+    state2 = jax.tree.map(lambda x: jnp.array(x), state1)
+    batch = synth_batch(cfg, spec, rng)
+
+    single = train_lib.make_train_step(model, spec, cfg, tx, mesh=None)
+    s1, m1 = single(state1, jax.tree.map(jnp.asarray, batch))
+
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    sharded = train_lib.make_train_step(model, spec, cfg, tx, mesh)
+    s2, m2 = sharded(state2, mesh_lib.shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m1["loss/total"]), float(m2["loss/total"]), rtol=1e-4)
+    a = jax.tree.leaves(s1.params)
+    b = jax.tree.leaves(s2.params)
+    worst = max(float(jnp.abs(x - y).max()) for x, y in zip(a, b))
+    assert worst < 1e-4
+
+
+def test_pose_attention_sharded(rng):
+    cfg = cfg8(pooling="pose_attention")
+    spec = get_dataset(cfg.dataset)
+    state, _, model, tx = train_lib.create_state(cfg)
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    step_fn = train_lib.make_train_step(model, spec, cfg, tx, mesh)
+    batch = mesh_lib.shard_batch(
+        synth_batch(cfg, spec, rng, with_pose=True), mesh)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss/pose"]))
+
+
+def test_sharded_eval_step(rng):
+    cfg = cfg8()
+    state, _, model, _ = train_lib.create_state(cfg)
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    step = eval_lib.make_eval_step(model, mesh)
+    images = jnp.asarray(rng.normal(size=(16, 64, 64, 3)), jnp.float32)
+    images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
+    logits = step(state.params, state.batch_stats, images)
+    assert logits.shape == (16, 393)
+
+
+def test_multicrop_eval_sharded(rng):
+    """Crops fold into the sharded batch dim (BASELINE.json config #5)."""
+    cfg = cfg8(eval_multicrop=3)
+    state, _, model, _ = train_lib.create_state(cfg)
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    step = eval_lib.make_multicrop_eval_step(model, mesh)
+    images = jnp.asarray(rng.normal(size=(8, 3, 64, 64, 3)), jnp.float32)
+    images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
+    logits = step(state.params, state.batch_stats, images)
+    assert logits.shape == (8, 393)
+    # averaging over crops == manual mean of per-crop logits
+    single = eval_lib.make_eval_step(model)
+    flat = single(state.params, state.batch_stats,
+                  np.asarray(images).reshape(24, 64, 64, 3))
+    want = np.asarray(flat).reshape(8, 3, -1).mean(1)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,132 @@
+"""End-to-end integration: synthetic TFRecords -> pipeline -> jit train step
+-> Orbax save/restore -> eval metrics (SURVEY.md section 4 item 3; the
+CPU-runnable BASELINE.json config #1 shape).
+
+Uses a small ResNet-50 at 64px so the whole loop runs on CPU in seconds.
+"""
+
+
+import jax
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+from attentionalpoolingaction_tpu import evaluate as eval_lib
+from attentionalpoolingaction_tpu import train as train_lib
+from attentionalpoolingaction_tpu.config import TrainConfig
+from attentionalpoolingaction_tpu.data import pipeline, records
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dataset="mpii", backbone="resnet_v1_50", pooling="attention",
+        rank=1, image_size=64, batch_size=4, bf16_backbone=False,
+        learning_rate=1e-3, grad_clip_norm=10.0, log_every=1, num_steps=3,
+        lr_schedule="constant")
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def mpii_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mpii")
+    spec = get_dataset("mpii")
+    train_p = str(d / "train.tfrecord")
+    val_p = str(d / "val.tfrecord")
+    records.write_synthetic_dataset(train_p, spec, 16, image_size=80, seed=0)
+    records.write_synthetic_dataset(val_p, spec, 10, image_size=80, seed=1)
+    return train_p, val_p
+
+
+def make_iter(path, cfg, train=True):
+    spec = get_dataset(cfg.dataset)
+    if train:
+        return pipeline.make_train_iterator(
+            path, spec, batch_size=cfg.batch_size, image_size=cfg.image_size,
+            resize_min=72, resize_max=90, shard_by_process=False)
+    return pipeline.make_eval_iterator(
+        path, spec, batch_size=cfg.eval_batch_size,
+        image_size=cfg.image_size, resize_min=72)
+
+
+def test_train_loss_decreases(mpii_files):
+    train_p, _ = mpii_files
+    cfg = tiny_cfg(num_steps=8)
+    state, history = train_lib.train(
+        cfg, train_iter=make_iter(train_p, cfg), num_steps=8)
+    assert int(state.step) == 8
+    losses = [h["loss/total"] for h in history]
+    assert all(np.isfinite(losses))
+    # random-init CE at 393 classes starts near log(393) ~ 5.97 and the model
+    # overfits 16 images quickly; just require a real decrease
+    assert losses[-1] < losses[0]
+
+
+def test_pose_attention_train(mpii_files):
+    train_p, _ = mpii_files
+    cfg = tiny_cfg(pooling="pose_attention", num_steps=2)
+    state, history = train_lib.train(
+        cfg, train_iter=make_iter(train_p, cfg), num_steps=2)
+    assert "loss/pose" in history[-1]
+    assert np.isfinite(history[-1]["loss/pose"])
+
+
+def test_eval_metrics(mpii_files):
+    _, val_p = mpii_files
+    cfg = tiny_cfg()
+    state = train_lib.create_state(cfg)[0]
+    results = eval_lib.evaluate(cfg, state,
+                                eval_iter=make_iter(val_p, cfg, train=False))
+    assert results["num_examples"] == 10
+    assert 0.0 <= results["mAP"] <= 1.0
+    assert 0.0 <= results["accuracy"] <= 1.0
+
+
+def test_checkpoint_roundtrip(mpii_files, tmp_path):
+    train_p, _ = mpii_files
+    cfg = tiny_cfg(num_steps=2)
+    mgr = ckpt_lib.make_manager(tmp_path / "ckpt")
+    state, _ = train_lib.train(
+        cfg, train_iter=make_iter(train_p, cfg), num_steps=2,
+        checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert mgr.latest_step() == 2
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    restored = ckpt_lib.restore(mgr, abstract)
+    assert int(restored.step) == 2
+    orig = jax.tree.leaves(state.params)
+    rest = jax.tree.leaves(restored.params)
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hmdb_end_to_end(tmp_path):
+    spec = get_dataset("hmdb51")
+    p = str(tmp_path / "h.tfrecord")
+    records.write_synthetic_dataset(p, spec, 12, image_size=80,
+                                    frames_per_video=3)
+    cfg = tiny_cfg(dataset="hmdb51", num_steps=2)
+    it = pipeline.make_train_iterator(
+        p, spec, batch_size=4, image_size=64, resize_min=72, resize_max=90,
+        shard_by_process=False)
+    state, _ = train_lib.train(cfg, train_iter=it, num_steps=2)
+    ev = pipeline.make_eval_iterator(p, spec, batch_size=4, image_size=64,
+                                     resize_min=72)
+    results = eval_lib.evaluate(cfg, state, eval_iter=ev)
+    assert results["num_videos"] == 4
+    assert "accuracy" in results and "per_frame_accuracy" in results
+
+
+def test_hico_multilabel_loss(tmp_path):
+    spec = get_dataset("hico")
+    p = str(tmp_path / "hico.tfrecord")
+    records.write_synthetic_dataset(p, spec, 8, image_size=80)
+    cfg = tiny_cfg(dataset="hico", num_steps=2)
+    it = pipeline.make_train_iterator(
+        p, spec, batch_size=4, image_size=64, resize_min=72, resize_max=90,
+        shard_by_process=False)
+    state, history = train_lib.train(cfg, train_iter=it, num_steps=2)
+    assert np.isfinite(history[-1]["loss/total"])
