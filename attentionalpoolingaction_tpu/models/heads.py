@@ -61,9 +61,14 @@ class AttentionalPoolingHead(nn.Module):
                            jnp.float32)
 
         if self.use_pallas and not return_maps:
+            import jax
+
             from attentionalpoolingaction_tpu.ops.attn_pool_pallas import (
                 attentional_pool_fused)
-            logits = attentional_pool_fused(x, attn_w, attn_b, sal_w, sal_b)
+            # interpret mode off-TPU (CPU tests); compiled Mosaic on TPU
+            logits = attentional_pool_fused(
+                x, attn_w, attn_b, sal_w, sal_b,
+                jax.default_backend() != "tpu")
         else:
             logits = ap_ops.attentional_pool(x, attn_w, attn_b, sal_w, sal_b)
 
