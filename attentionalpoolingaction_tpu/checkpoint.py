@@ -43,6 +43,26 @@ def restore(manager: ocp.CheckpointManager, abstract_state, step=None):
                            args=ocp.args.StandardRestore(abstract_state))
 
 
+def restore_for_eval(manager: ocp.CheckpointManager, step=None):
+    """Restore only what inference needs (params + batch_stats + step),
+    ignoring optimizer state — robust to optimizer-config changes between
+    the training run and the eval invocation."""
+    step = step if step is not None else manager.latest_step()
+    if step is None:
+        return None
+    raw = manager.restore(step)  # raw pytree-of-arrays
+    import flax
+
+    @flax.struct.dataclass
+    class EvalState:
+        step: Any
+        params: Any
+        batch_stats: Any
+
+    return EvalState(step=raw["step"], params=raw["params"],
+                     batch_stats=raw.get("batch_stats", {}))
+
+
 # ---------------------------------------------------------------------------
 # TF-slim checkpoint conversion
 # ---------------------------------------------------------------------------
@@ -52,7 +72,7 @@ _SLIM_BN = {"gamma": "scale", "beta": "bias",
 
 
 def _map_slim_name(name: str, model_scope: str):
-    """Map one slim variable name to (collection, flax_path, transpose).
+    """Map one slim variable name to (collection, flax_path_tuple).
 
     Slim layout (SURVEY.md section 2.2 "tf.train.Saver checkpoint format"):
       resnet_v1_101/conv1/weights                         (7,7,3,64)
@@ -60,25 +80,53 @@ def _map_slim_name(name: str, model_scope: str):
       resnet_v1_101/block1/unit_1/bottleneck_v1/conv1/weights
       resnet_v1_101/block1/unit_1/bottleneck_v1/shortcut/weights
       resnet_v1_101/logits/{weights,biases}
-    Flax layout (models/resnet.py):
-      resnet/conv1/kernel, resnet/conv1_bn/{scale,bias}
-      batch_stats: resnet/conv1_bn/{mean,var}
-      resnet/block1/unit_1/{conv1,conv1_bn,shortcut,shortcut_bn}/...
+    Flax layout (models/resnet.py — note "block1/unit_1" is a SINGLE module
+    name, i.e. one dict key):
+      params:      resnet / conv1 / kernel
+                   resnet / conv1_bn / {scale,bias}
+                   resnet / "block1/unit_1" / {conv1,conv1_bn,shortcut,...}
+      batch_stats: resnet / conv1_bn / {mean,var}
     """
     name = name.removeprefix(model_scope + "/")
-    parts = name.split("/")
-    # strip slim's bottleneck_v1 scope level
-    parts = [p for p in parts if p != "bottleneck_v1"]
+    parts = [p for p in name.split("/") if p != "bottleneck_v1"]
+    # merge blockX/unit_Y into the single Flax module key "blockX/unit_Y"
+    if len(parts) >= 2 and parts[0].startswith("block"):
+        parts = [parts[0] + "/" + parts[1]] + parts[2:]
     leaf = parts[-1]
     if leaf in ("weights", "biases"):
         flax_leaf = "kernel" if leaf == "weights" else "bias"
-        path = parts[:-1] + [flax_leaf]
-        return "params", ["resnet"] + path, False
-    if parts[-2] == "BatchNorm" and leaf in _SLIM_BN:
+        return "params", tuple(["resnet"] + parts[:-1] + [flax_leaf])
+    if len(parts) >= 3 and parts[-2] == "BatchNorm" and leaf in _SLIM_BN:
         conv_name = parts[-3]
-        coll = ("batch_stats" if leaf.startswith("moving_") else "params")
+        coll = "batch_stats" if leaf.startswith("moving_") else "params"
         path = parts[:-3] + [conv_name + "_bn", _SLIM_BN[leaf]]
-        return coll, ["resnet"] + path, False
+        return coll, tuple(["resnet"] + path)
+    return None
+
+
+_SLIM_BN_INV = {"scale": "gamma", "bias": "beta",
+                "mean": "moving_mean", "var": "moving_variance"}
+
+
+def _map_flax_path(coll: str, path: tuple, model_scope: str):
+    """Inverse of _map_slim_name: Flax (collection, path) -> slim var name.
+    Returns None for paths outside the backbone (heads etc.)."""
+    if not path or path[0] != "resnet":
+        return None
+    parts = list(path[1:])
+    # split merged "blockX/unit_Y" keys back into two scopes + bottleneck_v1
+    if parts and "/" in parts[0]:
+        block, unit = parts[0].split("/", 1)
+        parts = [block, unit, "bottleneck_v1"] + parts[1:]
+    leaf = parts[-1]
+    if parts[-2].endswith("_bn"):
+        conv = parts[-2][: -len("_bn")]
+        return "/".join([model_scope] + parts[:-2]
+                        + [conv, "BatchNorm", _SLIM_BN_INV[leaf]])
+    if leaf == "kernel":
+        return "/".join([model_scope] + parts[:-1] + ["weights"])
+    if leaf == "bias":
+        return "/".join([model_scope] + parts[:-1] + ["biases"])
     return None
 
 
@@ -89,8 +137,7 @@ def convert_slim_checkpoint(ckpt_path: str, *,
     models.resnet.ResNetV1 (under a top-level "resnet" module).
 
     Uses tf.train.load_checkpoint (pure reading — no TF graph).  Slim conv
-    kernels are HWIO like Flax, so no transposition is needed; dense/1x1
-    logits kernels (f, C) map directly.
+    kernels are HWIO like Flax, so no transposition is needed.
     """
     import tensorflow as tf
 
@@ -100,14 +147,15 @@ def convert_slim_checkpoint(ckpt_path: str, *,
     skipped = []
     for var_name in sorted(shapes):
         clean = var_name.split(":")[0]
-        if any(s in clean for s in ("Momentum", "global_step", "ExponentialMovingAverage",
-                                    "RMSProp", "Adam", "beta1_power", "beta2_power")):
+        if any(s in clean for s in (
+                "Momentum", "global_step", "ExponentialMovingAverage",
+                "RMSProp", "Adam", "beta1_power", "beta2_power")):
             continue
         mapped = _map_slim_name(clean, model_scope)
         if mapped is None:
             skipped.append(clean)
             continue
-        coll, path, _ = mapped
+        coll, path = mapped
         value = np.asarray(reader.get_tensor(clean))
         node = out[coll]
         for key in path[:-1]:
@@ -119,55 +167,80 @@ def convert_slim_checkpoint(ckpt_path: str, *,
     return out
 
 
+def export_slim_checkpoint(variables, path: str, *,
+                           model_scope: str = "resnet_v1_101") -> int:
+    """Write the backbone subtree of Flax ``variables`` as a TF checkpoint
+    with slim variable names (inverse of convert_slim_checkpoint — used for
+    interop and as the converter's roundtrip test fixture).  Returns the
+    number of variables written."""
+    import tensorflow as tf
+
+    tf1 = tf.compat.v1
+    named = {}
+    for coll in ("params", "batch_stats"):
+        for fpath, val in _flatten(variables.get(coll, {})).items():
+            name = _map_flax_path(coll, fpath, model_scope)
+            if name is not None:
+                named[name] = np.asarray(val)
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf_vars = {name: tf1.get_variable(
+            name, initializer=tf1.constant(val))
+            for name, val in named.items()}
+        saver = tf1.train.Saver(var_list=tf_vars)
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, path, write_meta_graph=False)
+    return len(named)
+
+
 def merge_pretrained(variables, converted, *, exclude: tuple[str, ...] = ()):
     """Overlay converted slim weights onto freshly-initialized variables,
     leaving new-head scopes untouched (the reference's exclusion-list
     fine-tune init, SURVEY.md section 3.1 step 8).
 
-    ``exclude``: path-prefix regexes (e.g. ``("head", "pose_head")``).
-    Raises on shape mismatch for any overlaid leaf.
+    ``exclude``: regexes matched against the slash-joined relative path
+    (e.g. ``("head", "pose_head")``).  Raises on any shape mismatch or on
+    converted vars missing from the model.
     """
-    flat_conv = _flatten(converted)
-    out = jax.tree_util.tree_map(lambda x: x, variables)  # copy
-
-    applied = 0
+    flat_conv = {}
     for coll in ("params", "batch_stats"):
-        if coll not in variables or coll not in converted:
+        for path, val in _flatten(converted.get(coll, {})).items():
+            flat_conv[(coll,) + path] = val
+
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    applied = 0
+    for (coll, *path), val in flat_conv.items():
+        if coll not in variables:
             continue
-        flat_var = _flatten({coll: out[coll]})
-        for path, val in flat_conv.items():
-            if not path.startswith(coll + "/"):
-                continue
-            rel = path[len(coll) + 1:]
-            if any(re.match(e, rel) for e in exclude):
-                continue
-            if path not in flat_var:
-                raise KeyError(f"converted var {path} not in model")
-            cur = flat_var[path]
-            if tuple(cur.shape) != tuple(np.asarray(val).shape):
-                raise ValueError(
-                    f"shape mismatch at {path}: model {cur.shape} "
-                    f"vs checkpoint {np.asarray(val).shape}")
-            _set(out, path, np.asarray(val).astype(np.asarray(cur).dtype))
-            applied += 1
+        rel = "/".join(path)
+        if any(re.match(e, rel) for e in exclude):
+            continue
+        node = out[coll]
+        try:
+            for key in path[:-1]:
+                node = node[key]
+            cur = node[path[-1]]
+        except KeyError:
+            raise KeyError(f"converted var {coll}/{rel} not in model")
+        val = np.asarray(val)
+        if tuple(cur.shape) != tuple(val.shape):
+            raise ValueError(
+                f"shape mismatch at {coll}/{rel}: model {cur.shape} "
+                f"vs checkpoint {val.shape}")
+        node[path[-1]] = val.astype(np.asarray(cur).dtype)
+        applied += 1
     log.info("merged %d pretrained vars", applied)
     return out
 
 
-def _flatten(tree, prefix=""):
+def _flatten(tree, prefix=()):
+    """Flatten a nested dict to {path_tuple: leaf} (keys may contain '/')."""
     flat = {}
     for k, v in tree.items():
-        p = f"{prefix}/{k}" if prefix else k
+        p = prefix + (k,)
         if isinstance(v, dict):
             flat.update(_flatten(v, p))
         else:
             flat[p] = v
     return flat
-
-
-def _set(tree, path, value):
-    keys = path.split("/")
-    node = tree
-    for k in keys[:-1]:
-        node = node[k]
-    node[keys[-1]] = value

@@ -92,3 +92,18 @@ PRESETS: dict[str, TrainConfig] = {
 def get_config(name: str, **overrides) -> TrainConfig:
     cfg = dataclasses.replace(PRESETS[name], **overrides)
     return cfg
+
+
+def parse_overrides(pairs):
+    """Parse CLI --set field=value overrides (values as python literals
+    when possible)."""
+    import ast
+
+    out = {}
+    for pair in pairs:
+        key, _, value = pair.partition("=")
+        try:
+            out[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            out[key] = value
+    return out

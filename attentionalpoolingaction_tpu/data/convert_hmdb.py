@@ -1,0 +1,134 @@
+"""HMDB51 videos -> per-frame TFRecords (SURVEY.md section 3.3: "HMDB
+(ffmpeg frame extraction then per-frame records)").
+
+Reads the standard HMDB51 layout (class-named directories of .avi files +
+testTrainMulti split files ``<class>_test_split<k>.txt`` with flags
+1=train, 2=test, 0=unused), samples up to ``--frames_per_video`` frames
+uniformly per video with cv2, JPEG-encodes them, and writes per-frame
+examples tagged with a video id (the eval protocol averages per-frame
+logits by video — SURVEY.md section 3.2).
+
+Usage:
+    python -m attentionalpoolingaction_tpu.data.convert_hmdb \
+        --videos_dir hmdb51/ --splits_dir testTrainMulti_7030_splits/ \
+        --out_dir records/ --split_id 1 --frames_per_video 25
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from attentionalpoolingaction_tpu.data import records as rec
+
+
+def read_split_files(splits_dir: str, split_id: int):
+    """Returns ({video_rel_path: 'train'|'test'}, [class names])."""
+    assignment = {}
+    classes = []
+    pattern = os.path.join(splits_dir, f"*_test_split{split_id}.txt")
+    for path in sorted(glob.glob(pattern)):
+        cls = os.path.basename(path).rsplit(
+            f"_test_split{split_id}.txt", 1)[0]
+        classes.append(cls)
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                name, flag = parts[0], parts[1]
+                if flag == "1":
+                    assignment[f"{cls}/{name}"] = "train"
+                elif flag == "2":
+                    assignment[f"{cls}/{name}"] = "test"
+    return assignment, classes
+
+
+def sample_frame_indices(num_frames: int, num_samples: int) -> np.ndarray:
+    """Uniformly spaced frame indices (deterministic eval-style sampling;
+    train-time jitter happens in the input pipeline)."""
+    if num_frames <= 0:
+        return np.zeros((0,), np.int64)
+    n = min(num_samples, num_frames)
+    return np.linspace(0, num_frames - 1, n).round().astype(np.int64)
+
+
+def extract_frames(video_path: str, num_samples: int):
+    """Decode up to num_samples uniformly-sampled frames as RGB arrays."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    idxs = set(sample_frame_indices(total, num_samples).tolist())
+    frames = []
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i in idxs:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        i += 1
+    cap.release()
+    return frames
+
+
+def write_records(video_items, out_dir, *, split, frames_per_video=25,
+                  shards=8, quality=90):
+    """video_items: iterable of (video_id, label, video_path)."""
+    import tensorflow as tf
+
+    os.makedirs(out_dir, exist_ok=True)
+    writers = [[] for _ in range(shards)]
+    count = 0
+    for vid, (video_id, label, path) in enumerate(video_items):
+        frames = extract_frames(path, frames_per_video)
+        for fi, frame in enumerate(frames):
+            jpeg = tf.io.encode_jpeg(frame, quality=quality).numpy()
+            ex = rec.make_example(
+                jpeg, height=frame.shape[0], width=frame.shape[1],
+                label=label, video_id=video_id, frame=fi)
+            writers[vid % shards].append(ex)
+            count += 1
+    for shard_idx, examples in enumerate(writers):
+        path = os.path.join(
+            out_dir, f"{split}-{shard_idx:05d}-of-{shards:05d}.tfrecord")
+        rec.write_tfrecord(path, examples)
+    return count
+
+
+def main(argv=None):
+    from absl import flags, logging
+    del argv
+    FLAGS = flags.FLAGS
+
+    assignment, classes = read_split_files(FLAGS.splits_dir, FLAGS.split_id)
+    label_map = {c: i for i, c in enumerate(sorted(classes))}
+    for split in ("train", "test"):
+        items = []
+        for rel, s in sorted(assignment.items()):
+            if s != split:
+                continue
+            cls = rel.split("/", 1)[0]
+            items.append((len(items), label_map[cls],
+                          os.path.join(FLAGS.videos_dir, rel)))
+        n = write_records(items, FLAGS.out_dir, split=split,
+                          frames_per_video=FLAGS.frames_per_video,
+                          shards=FLAGS.shards)
+        logging.info("%s: %d videos -> %d frame examples",
+                     split, len(items), n)
+
+
+if __name__ == "__main__":
+    from absl import app, flags
+
+    flags.DEFINE_string("videos_dir", None, "HMDB51 root of class dirs")
+    flags.DEFINE_string("splits_dir", None, "testTrainMulti split files dir")
+    flags.DEFINE_string("out_dir", None, "output TFRecord directory")
+    flags.DEFINE_integer("split_id", 1, "HMDB split number (1-3)")
+    flags.DEFINE_integer("frames_per_video", 25, "sampled frames per video")
+    flags.DEFINE_integer("shards", 32, "shards per split")
+    flags.mark_flags_as_required(["videos_dir", "splits_dir", "out_dir"])
+    app.run(main)

@@ -172,6 +172,15 @@ def create_state(cfg: config_lib.TrainConfig, *, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.key(cfg.seed)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
+    if cfg.init_checkpoint:
+        # fine-tune init from a slim (TF1) checkpoint, new-head scopes
+        # excluded — the reference's _get_init_fn (SURVEY.md section 3.1
+        # step 8)
+        from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+        converted = ckpt_lib.convert_slim_checkpoint(
+            cfg.init_checkpoint, model_scope=cfg.backbone)
+        variables = ckpt_lib.merge_pretrained(
+            dict(variables), converted, exclude=("head", "pose_head"))
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -262,5 +271,5 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             from attentionalpoolingaction_tpu import checkpoint as ckpt
             ckpt.save(checkpoint_manager, state)
         for hook in hooks:
-            hook(step, state)
+            hook(step, state, metrics)
     return state, history

@@ -1,0 +1,62 @@
+"""Training CLI — the reference's ``python train.py --flags`` surface
+(SURVEY.md section 1 L7) as absl flags over named config presets.
+
+Usage:
+    python -m attentionalpoolingaction_tpu.train_cli \
+        --config mpii_rank1_224 \
+        --train_pattern=/data/mpii/train-*.tfrecord \
+        --workdir=/tmp/run1 [--set batch_size=64 --set learning_rate=0.01]
+"""
+
+from __future__ import annotations
+
+from absl import app, flags, logging
+
+from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+from attentionalpoolingaction_tpu import config as config_lib
+from attentionalpoolingaction_tpu import train as train_lib
+from attentionalpoolingaction_tpu.utils import metrics_writer
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("config", "mpii_rank1_224",
+                    f"preset name, one of {sorted(config_lib.PRESETS)}")
+flags.DEFINE_string("train_pattern", None, "train TFRecord glob")
+flags.DEFINE_string("eval_pattern", None, "eval TFRecord glob")
+flags.DEFINE_string("workdir", None, "checkpoint/metrics dir")
+flags.DEFINE_string("init_checkpoint", None,
+                    "converted ImageNet/slim checkpoint dir (Orbax)")
+flags.DEFINE_integer("num_steps", None, "override number of steps")
+flags.DEFINE_multi_string(
+    "set", [], "config overrides as field=value (parsed as python literal "
+    "when possible), e.g. --set batch_size=64")
+flags.DEFINE_string("jax_platform", None,
+                    "force a JAX backend (e.g. cpu); default = env")
+
+
+def main(argv):
+    del argv
+    if FLAGS.jax_platform:
+        import jax
+
+        jax.config.update("jax_platforms", FLAGS.jax_platform)
+    overrides = config_lib.parse_overrides(FLAGS.set)
+    for key in ("train_pattern", "eval_pattern", "workdir",
+                "init_checkpoint"):
+        val = getattr(FLAGS, key)
+        if val is not None:
+            overrides[key] = val
+    cfg = config_lib.get_config(FLAGS.config, **overrides)
+    logging.info("config: %s", cfg)
+
+    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    writer = metrics_writer.make_writer(cfg.workdir)
+    hooks = [metrics_writer.make_train_hook(writer, cfg.log_every)]
+    state, _ = train_lib.train(
+        cfg, num_steps=FLAGS.num_steps, checkpoint_manager=mgr, hooks=hooks)
+    mgr.wait_until_finished()
+    writer.flush()
+    logging.info("done at step %d", int(state.step))
+
+
+if __name__ == "__main__":
+    app.run(main)

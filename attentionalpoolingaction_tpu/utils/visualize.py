@@ -1,0 +1,74 @@
+"""Attention-map visualization (the reference's L8 analysis/demo layer,
+SURVEY.md sections 1 L8 and 3.4): render the per-class top-down map
+(X a_c) and the bottom-up saliency (X b) as heatmap overlays on the input
+image — the README figures of the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def upsample_map(feat_map: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Bilinear-upsample a (h', w') map to (height, width)."""
+    import cv2
+
+    m = np.asarray(feat_map, np.float32)
+    return cv2.resize(m, (width, height), interpolation=cv2.INTER_LINEAR)
+
+
+def normalize_map(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, np.float32)
+    lo, hi = float(m.min()), float(m.max())
+    if hi - lo < 1e-12:
+        return np.zeros_like(m)
+    return (m - lo) / (hi - lo)
+
+
+def overlay_heatmap(image_rgb: np.ndarray, attn: np.ndarray,
+                    alpha: float = 0.5) -> np.ndarray:
+    """Blend a normalized attention map over an RGB uint8 image (JET
+    colormap), returning uint8 RGB."""
+    import cv2
+
+    h, w = image_rgb.shape[:2]
+    m = normalize_map(upsample_map(attn, h, w))
+    heat = cv2.applyColorMap((m * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB)
+    out = (1 - alpha) * image_rgb.astype(np.float32) + alpha * heat
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def attention_overlays(model, variables, images, *, class_idx=None,
+                       alpha: float = 0.5):
+    """Run the model with return_maps=True and produce overlay images.
+
+    images: (B, H, W, 3) float32 *mean-subtracted* network inputs.
+    class_idx: int, (B,) array, or None (uses the arg-max predicted class).
+    Returns dict with 'top_down' and 'saliency' lists of uint8 RGB images,
+    plus raw 'logits', 'attn_maps' (B, h', w', C), 'saliency_maps'.
+    """
+    from attentionalpoolingaction_tpu.data.preprocessing import (
+        B_MEAN, G_MEAN, R_MEAN)
+
+    out = model.apply(variables, images, return_maps=True)
+    logits = np.asarray(out["logits"])
+    maps = np.asarray(out["attn_maps"])        # (B, h', w', C)
+    sal = np.asarray(out["saliency"])          # (B, h', w')
+
+    if class_idx is None:
+        class_idx = logits.argmax(-1)
+    class_idx = np.broadcast_to(np.asarray(class_idx), (len(maps),))
+
+    rgb = np.asarray(images, np.float32) + np.array(
+        [R_MEAN, G_MEAN, B_MEAN], np.float32)
+    rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+
+    top, bottom = [], []
+    for i in range(len(maps)):
+        top.append(overlay_heatmap(rgb[i], maps[i, :, :, class_idx[i]],
+                                   alpha))
+        bottom.append(overlay_heatmap(rgb[i], sal[i], alpha))
+    return {"top_down": top, "saliency": bottom, "logits": logits,
+            "attn_maps": maps, "saliency_maps": sal,
+            "class_idx": class_idx}

@@ -1,0 +1,156 @@
+"""Offline data conversion scripts: MPII .mat parsing, HICO multi-hot,
+HMDB frame sampling/extraction — driven with synthetic fixtures end-to-end
+into the training pipeline."""
+
+import os
+from types import SimpleNamespace as NS
+
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu.data import convert_hico, convert_hmdb
+from attentionalpoolingaction_tpu.data import convert_mpii
+from attentionalpoolingaction_tpu.data import pipeline, records
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+
+def fake_release():
+    """Minimal scipy.io-shaped (squeeze_me, struct_as_record=False) RELEASE."""
+    def person(y=10.0, x=20.0):
+        pts = [NS(id=j, x=x + j, y=y + j, is_visible=1) for j in (0, 5, 9)]
+        return NS(annopoints=NS(point=np.array(pts, dtype=object)))
+
+    annolist = np.array([
+        NS(image=NS(name="im0.jpg"), annorect=person()),
+        NS(image=NS(name="im1.jpg"), annorect=np.array([], dtype=object)),
+        NS(image=NS(name="im2.jpg"), annorect=person(30.0, 40.0)),
+    ], dtype=object)
+    act = np.array([NS(act_id=5), NS(act_id=-1), NS(act_id=101)],
+                   dtype=object)
+    img_train = np.array([1, 1, 0])
+    return NS(annolist=annolist, act=act, img_train=img_train)
+
+
+def test_parse_mpii_mat():
+    entries = convert_mpii.parse_mpii_mat(fake_release())
+    assert len(entries) == 3
+    assert entries[0]["act_id"] == 5 and entries[0]["is_train"]
+    assert entries[1]["keypoints"] is None
+    assert not entries[2]["is_train"]
+    kps = entries[0]["keypoints"]
+    assert kps.shape == (16, 2)
+    np.testing.assert_allclose(kps[5], [15.0, 25.0])   # joint 5: y=10+5
+    assert entries[0]["visibility"][5] == 1.0
+    assert entries[0]["visibility"][1] == 0.0          # unannotated joint
+
+
+def test_mpii_label_map_and_records(tmp_path):
+    entries = convert_mpii.parse_mpii_mat(fake_release())
+    label_map = convert_mpii.build_label_map(entries)
+    assert label_map == {5: 0, 101: 1}
+
+    # put tiny jpegs on disk for the two labeled entries
+    import tensorflow as tf
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("im0.jpg", "im1.jpg", "im2.jpg"):
+        arr = rng.integers(0, 255, (40, 50, 3), np.uint8)
+        (img_dir / name).write_bytes(tf.io.encode_jpeg(arr).numpy())
+
+    out = tmp_path / "recs"
+    n = convert_mpii.write_records(
+        [e for e in entries if e["is_train"]], str(img_dir), str(out),
+        split="train", label_map=label_map, shards=2)
+    assert n == 1  # only im0 has a valid label among train entries
+    # readable by the real train pipeline
+    spec = get_dataset("mpii")
+    it = pipeline.make_train_iterator(
+        str(out / "train-*.tfrecord"), spec, batch_size=1, image_size=32,
+        resize_min=36, resize_max=40, shard_by_process=False)
+    batch = next(it)
+    assert batch["image"].shape == (1, 32, 32, 3)
+    assert batch["label"][0] == 0
+
+
+def test_hico_multi_hot():
+    col = np.array([1, -1, 0, np.nan, 1])
+    np.testing.assert_array_equal(
+        convert_hico.anno_to_multi_hot(col), [1, 0, 0, 0, 1])
+
+
+def test_hico_write_records(tmp_path):
+    import tensorflow as tf
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    names = []
+    for i in range(3):
+        name = f"HICO_{i:08d}.jpg"
+        arr = rng.integers(0, 255, (30, 30, 3), np.uint8)
+        (img_dir / name).write_bytes(tf.io.encode_jpeg(arr).numpy())
+        names.append(name)
+    anno = np.zeros((600, 3), np.float32)
+    anno[7, 0] = 1
+    anno[8, 1] = 1
+    anno[9, 2] = -1
+    out = tmp_path / "recs"
+    n = convert_hico.write_records(names, anno, str(img_dir), str(out),
+                                   split="train", shards=1)
+    assert n == 3
+    spec = get_dataset("hico")
+    batches = list(pipeline.make_eval_iterator(
+        str(out / "train-*.tfrecord"), spec, batch_size=3, image_size=24,
+        resize_min=28))
+    labels = batches[0]["label"]
+    assert labels.shape == (3, 600)
+    assert labels.sum() == 2.0  # one positive each for first two images
+
+
+def test_hmdb_frame_sampling():
+    idx = convert_hmdb.sample_frame_indices(100, 5)
+    np.testing.assert_array_equal(idx, [0, 25, 50, 74, 99])
+    assert convert_hmdb.sample_frame_indices(3, 10).tolist() == [0, 1, 2]
+    assert convert_hmdb.sample_frame_indices(0, 10).size == 0
+
+
+def test_hmdb_split_files(tmp_path):
+    d = tmp_path / "splits"
+    d.mkdir()
+    (d / "run_test_split1.txt").write_text(
+        "a.avi 1\nb.avi 2\nc.avi 0\n")
+    (d / "walk_test_split1.txt").write_text("d.avi 1\n")
+    assignment, classes = convert_hmdb.read_split_files(str(d), 1)
+    assert assignment == {"run/a.avi": "train", "run/b.avi": "test",
+                          "walk/d.avi": "train"}
+    assert sorted(classes) == ["run", "walk"]
+
+
+def test_hmdb_video_end_to_end(tmp_path):
+    import cv2
+
+    vdir = tmp_path / "videos" / "run"
+    vdir.mkdir(parents=True)
+    path = str(vdir / "a.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 24))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (24, 32, 3), np.uint8))
+    w.release()
+
+    frames = convert_hmdb.extract_frames(path, 4)
+    assert len(frames) == 4
+    assert frames[0].shape == (24, 32, 3)
+
+    out = tmp_path / "recs"
+    n = convert_hmdb.write_records(
+        [(0, 3, path)], str(out), split="train", frames_per_video=4,
+        shards=1)
+    assert n == 4
+    spec = get_dataset("hmdb51")
+    batches = list(pipeline.make_eval_iterator(
+        str(out / "train-*.tfrecord"), spec, batch_size=4, image_size=16,
+        resize_min=20))
+    assert batches[0]["label"].tolist() == [3, 3, 3, 3]
+    assert batches[0]["video_id"].tolist() == [0, 0, 0, 0]
