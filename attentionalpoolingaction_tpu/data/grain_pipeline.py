@@ -1,0 +1,134 @@
+"""Grain input pipeline over the native indexed-TFRecord source.
+
+The Grain path (SURVEY.md section 1 target L1) complements the tf.data
+pipeline (data/pipeline.py) with:
+  * true global shuffle (random access via native_io's C++ indexed reader,
+    not a shuffle buffer);
+  * deterministic, checkpointable iteration (grain records its own state);
+  * per-host sharding by slicing the global index
+    (``ds[process_index::process_count]``).
+
+Example parsing uses tf.train.Example.FromString (pure protobuf, no TF
+graph); image preprocessing is the NumPy/cv2 mirror of the VGG transforms
+(data/preprocessing_np.py) running in Grain's worker pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
+from attentionalpoolingaction_tpu.data.datasets import DatasetSpec
+from attentionalpoolingaction_tpu.data.native_io import TFRecordDataSource
+
+
+def parse_example(raw: bytes, spec: DatasetSpec) -> dict:
+    """Parse a serialized tf.train.Example into numpy features (pure
+    protobuf — usable in Grain workers without a TF graph)."""
+    import tensorflow as tf
+
+    ex = tf.train.Example.FromString(raw)
+    feats = ex.features.feature
+    out = {"image_bytes": feats["image/encoded"].bytes_list.value[0]}
+    if spec.multi_label:
+        out["label"] = np.asarray(
+            feats["image/class/multi_hot"].int64_list.value, np.float32)
+    else:
+        out["label"] = np.int32(
+            feats["image/class/label"].int64_list.value[0])
+    if spec.has_pose:
+        kps = np.asarray(feats["image/pose/keypoints"].float_list.value,
+                         np.float32).reshape(spec.num_joints, 2)
+        out["keypoints"] = kps
+        out["visibility"] = np.asarray(
+            feats["image/pose/visibility"].float_list.value, np.float32)
+    if spec.is_video:
+        out["video_id"] = np.int32(feats["video/id"].int64_list.value[0])
+    return out
+
+
+def _to_features(parsed: dict, rng, spec: DatasetSpec, *, image_size,
+                 is_training, resize_min, resize_max):
+    image, transform = ppnp.preprocess_image_np(
+        parsed.pop("image_bytes"), out_size=image_size,
+        is_training=is_training, resize_min=resize_min,
+        resize_max=resize_max, rng=rng)
+    return {"image": image, "transform": transform, **parsed}
+
+
+def make_train_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
+                       image_size: int, resize_min: int | None = None,
+                       resize_max: int | None = None, seed: int = 0,
+                       shard_index: int = 0, shard_count: int = 1):
+    """Infinite shuffled Grain MapDataset of batched feature dicts
+    (per-host batch).  Iterate with iter(ds) or ds.to_iter_dataset()."""
+    import grain
+
+    resize_min = resize_min or image_size
+    resize_max = resize_max or int(resize_min * 512 / 256)
+    src = TFRecordDataSource(pattern)
+    ds = grain.MapDataset.source(src).seed(seed)
+    if shard_count > 1:
+        ds = ds.slice(slice(shard_index, None, shard_count))
+    ds = ds.shuffle().repeat()
+    ds = ds.random_map(
+        lambda raw, rng: _to_features(
+            parse_example(raw, spec), rng, spec, image_size=image_size,
+            is_training=True, resize_min=resize_min, resize_max=resize_max))
+    ds = ds.batch(batch_size, drop_remainder=True,
+                  batch_fn=_stack_features)
+    return ds
+
+
+def make_eval_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
+                      image_size: int, resize_min: int | None = None,
+                      pad_to_batch: bool = True):
+    """One-pass deterministic eval dataset with final-batch padding."""
+    import grain
+
+    resize_min = resize_min or image_size
+    src = TFRecordDataSource(pattern)
+    ds = grain.MapDataset.source(src).seed(0)
+    ds = ds.map(
+        lambda raw: _to_features(
+            parse_example(raw, spec), None, spec, image_size=image_size,
+            is_training=False, resize_min=resize_min, resize_max=None))
+    ds = ds.map(lambda d: {**d, "mask": np.float32(1.0)})
+    ds = ds.batch(batch_size, drop_remainder=False,
+                  batch_fn=_stack_features)
+    if pad_to_batch:
+        ds = ds.map(lambda b: _pad_batch(b, batch_size))
+    return ds
+
+
+def _stack_features(elems):
+    out = {}
+    for k in elems[0]:
+        out[k] = np.stack([np.asarray(e[k]) for e in elems])
+    return out
+
+
+def _pad_batch(batch, batch_size):
+    n = len(next(iter(batch.values())))
+    if n == batch_size:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad)
+    return out
+
+
+def make_train_iterator(pattern, spec: DatasetSpec, *, num_workers: int = 0,
+                        read_buffer: int = 2, **kw):
+    """Iterator over train batches with optional multiprocess prefetch
+    (Grain worker pool — the host-overlap path)."""
+    import grain
+
+    ds = make_train_dataset(pattern, spec, **kw)
+    it_ds = ds.to_iter_dataset()
+    if num_workers:
+        it_ds = it_ds.mp_prefetch(
+            grain.multiprocessing.MultiprocessingOptions(
+                num_workers=num_workers))
+    return iter(it_ds)

@@ -1,0 +1,65 @@
+"""NumPy/cv2 preprocessing — the same VGG-style semantics as
+preprocessing.py's TF ops, for Grain worker processes (which run plain
+Python, not a tf.data graph).  Geometry (resize scale, crop offset, flip)
+is identical by construction; the bilinear resampler differs between cv2
+and TF by <1 pixel intensity on natural images (pinned by the equivalence
+test in tests/test_grain_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from attentionalpoolingaction_tpu.data.preprocessing import (
+    B_MEAN, G_MEAN, R_MEAN)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    import cv2
+
+    arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if arr is None:
+        raise ValueError("JPEG decode failed")
+    return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+
+
+def preprocess_image_np(image_bytes: bytes, *, out_size: int,
+                        is_training: bool, resize_min: int,
+                        resize_max: int | None = None,
+                        rng: np.random.Generator | None = None):
+    """Decode + VGG preprocess one example.  Returns (image f32 HWC,
+    transform f32 [scale_y, scale_x, offset_y, offset_x, flip])."""
+    import cv2
+
+    img = decode_jpeg(image_bytes).astype(np.float32)
+    h, w = img.shape[:2]
+
+    if is_training and resize_max is not None and resize_max > resize_min:
+        assert rng is not None, "training preprocessing needs an rng"
+        side = int(rng.integers(resize_min, resize_max + 1))
+    else:
+        side = resize_min
+    scale = side / min(h, w)
+    new_h = int(round(h * scale))
+    new_w = int(round(w * scale))
+    img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    scale_y = new_h / h
+    scale_x = new_w / w
+
+    if is_training:
+        oy = int(rng.integers(0, max(new_h - out_size, 0) + 1))
+        ox = int(rng.integers(0, max(new_w - out_size, 0) + 1))
+        flip = bool(rng.integers(0, 2))
+    else:
+        oy = max(new_h - out_size, 0) // 2
+        ox = max(new_w - out_size, 0) // 2
+        flip = False
+
+    img = img[oy:oy + out_size, ox:ox + out_size]
+    if flip:
+        img = img[:, ::-1]
+    img = img - np.array([R_MEAN, G_MEAN, B_MEAN], np.float32)
+
+    transform = np.array(
+        [scale_y, scale_x, float(oy), float(ox), float(flip)], np.float32)
+    return np.ascontiguousarray(img), transform
