@@ -121,6 +121,51 @@ def make_eval_iterator(file_pattern, spec: DatasetSpec, *,
     return gen()
 
 
+def make_multicrop_eval_iterator(file_pattern, spec: DatasetSpec, *,
+                                 batch_size: int, image_size: int,
+                                 resize_min: int, num_crops: int = 3,
+                                 pad_to_batch: bool = True):
+    """High-res multi-crop eval (BASELINE.json config #5): each example
+    becomes (num_crops, H, W, 3); evaluate.make_multicrop_eval_step
+    averages logits over the crop dim (crops shard across the mesh)."""
+    import tensorflow as tf
+
+    ds = _base_dataset(file_pattern, spec, shuffle=False, seed=0,
+                       shard_by_process=False)
+
+    def to_features(parsed):
+        crops = pp.eval_multicrop_tf(
+            parsed["image/encoded"], out_size=image_size,
+            resize_min=resize_min, num_crops=num_crops)
+        out = {"image": crops}
+        if spec.multi_label:
+            out["label"] = tf.cast(parsed["image/class/multi_hot"],
+                                   tf.float32)
+        else:
+            out["label"] = tf.cast(parsed["image/class/label"], tf.int32)
+        if spec.is_video:
+            out["video_id"] = tf.cast(parsed["video/id"], tf.int32)
+        return out
+
+    ds = ds.map(to_features, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size, drop_remainder=False)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+
+    def gen():
+        for batch in ds.as_numpy_iterator():
+            n = batch["image"].shape[0]
+            batch["mask"] = np.ones((n,), np.float32)
+            if pad_to_batch and n < batch_size:
+                padded = {}
+                for k, v in batch.items():
+                    pad = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
+                    padded[k] = np.pad(v, pad)
+                batch = padded
+            yield batch
+
+    return gen()
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Overlap host batch production + H2D copy with device compute: keep
     ``size`` batches in flight on device (jax.device_put is async).  Pass a

@@ -69,9 +69,17 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
                else make_eval_step(model, mesh))
 
     if eval_iter is None:
-        eval_iter = pipeline.make_eval_iterator(
-            cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
-            image_size=cfg.image_size, resize_min=cfg.resize_min_resolved)
+        if multicrop:
+            eval_iter = pipeline.make_multicrop_eval_iterator(
+                cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+                image_size=cfg.image_size,
+                resize_min=cfg.resize_min_resolved,
+                num_crops=cfg.eval_multicrop)
+        else:
+            eval_iter = pipeline.make_eval_iterator(
+                cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+                image_size=cfg.image_size,
+                resize_min=cfg.resize_min_resolved)
 
     all_logits, all_labels, all_masks, all_vids = [], [], [], []
     for i, batch in enumerate(eval_iter):
