@@ -51,3 +51,45 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host-global numpy batch onto the mesh, batch-dim sharded."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def state_shardings(mesh: Mesh, state, *, model_axis: str | None = None):
+    """Sharding pytree for a TrainState.
+
+    Default: everything replicated (pure data parallel).  With
+    ``model_axis`` (tensor parallelism for the wide pooling head —
+    SURVEY.md section 2.3 TP row): the head's class dimension (C = 600 for
+    HICO) shards over the axis; XLA/GSPMD inserts the all-gather where the
+    per-class logits meet the loss.  ResNet backbone params stay replicated
+    (42M params — sharding them buys nothing at this scale).
+
+    Head param shapes (models/heads.py): attn_w (F, C, P), attn_b (C, P);
+    the avg head's logits kernel (F, C) / bias (C,).
+    """
+    repl = NamedSharding(mesh, P())
+    if model_axis is None:
+        return jax.tree.map(lambda _: repl, state)
+
+    axis_size = mesh.shape[model_axis]
+
+    def shard_dim(leaf, dim, spec):
+        # GSPMD in_shardings require even splits; replicate otherwise
+        if leaf.shape[dim] % axis_size == 0:
+            return NamedSharding(mesh, spec)
+        return repl
+
+    def leaf_sharding(path, leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if "head" in keys:
+            name = keys[-1]
+            if name == "attn_w" and leaf.ndim == 3:     # (F, C, P)
+                return shard_dim(leaf, 1, P(None, model_axis, None))
+            if name == "attn_b" and leaf.ndim == 2:     # (C, P)
+                return shard_dim(leaf, 0, P(model_axis, None))
+            if name == "kernel" and leaf.ndim == 2:     # avg head (F, C)
+                return shard_dim(leaf, 1, P(None, model_axis))
+            if name == "bias" and leaf.ndim == 1:       # avg head (C,)
+                return shard_dim(leaf, 0, P(model_axis))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)

@@ -220,14 +220,32 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    # TP: shard the pooling head's class dim over a "model" mesh axis when
+    # present (SURVEY.md section 2.3); otherwise replicate all state.
+    model_axis = "model" if "model" in mesh.axis_names and (
+        mesh.shape["model"] > 1) else None
+
+    def jit_with_state(state_example):
+        st_sh = mesh_lib.state_shardings(mesh, state_example,
+                                         model_axis=model_axis)
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step_fn,
+            in_shardings=(st_sh, data),
+            out_shardings=(st_sh, repl),
+            donate_argnums=(0,),
+        )
+
+    # in_shardings needs the state structure; build lazily on first call
+    _cache = {}
+
+    def wrapped(state, batch):
+        if "fn" not in _cache:
+            _cache["fn"] = jit_with_state(state)
+        return _cache["fn"](state, batch)
+
+    return wrapped
 
 
 def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
@@ -237,6 +255,15 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     from attentionalpoolingaction_tpu.data import pipeline
 
     state, spec, model, tx = create_state(cfg)
+    if checkpoint_manager is not None and (
+            checkpoint_manager.latest_step() is not None):
+        # idempotent restart-resume (SURVEY.md section 5 "Failure
+        # detection" row): restore step/params/opt state and continue
+        from attentionalpoolingaction_tpu import checkpoint as ckpt
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        state = ckpt.restore(checkpoint_manager, abstract)
+        log.info("resumed from checkpoint at step %d", int(state.step))
     mesh = None
     if len(jax.devices()) > 1 and cfg.mesh_shape and (
             int(jnp.prod(jnp.asarray(cfg.mesh_shape))) > 1):
@@ -257,10 +284,12 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     num_steps = num_steps or cfg.num_steps
     history = []
     t0 = time.time()
-    for _ in range(num_steps):
+    start_step = int(state.step)
+    step = start_step
+    for _ in range(max(num_steps - start_step, 0)):
         batch = next(train_iter)
         state, metrics = step_fn(state, batch)
-        step = int(state.step)
+        step += 1
         if step % cfg.log_every == 0 or step == num_steps:
             metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0

@@ -39,13 +39,16 @@ def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
     def fwd(images):
         return model.apply(variables, images)["logits"]
 
-    fwd(images).block_until_ready()
+    # sync via a D2H value fetch: through the axon tunnel,
+    # block_until_ready alone can ack before device completion
+    float(fwd(images)[0, 0])
     for _ in range(warmup):
-        fwd(images).block_until_ready()
+        out = fwd(images)
+    float(out[0, 0])
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fwd(images)
-    out.block_until_ready()
+    float(out[0, 0])
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
 

@@ -37,11 +37,17 @@ def timeit(fn, x, iters=100, reps=3):
         c, _ = jax.lax.scan(body, x, None, length=iters)
         return c
 
-    run(x).block_until_ready()
+    def sync(out):
+        # one-element D2H fetch: reliable completion sync through the axon
+        # tunnel (block_until_ready can ack early) without shipping the
+        # whole array over the relay
+        return float(out.reshape(-1)[0])
+
+    sync(run(x))  # warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(x).block_until_ready()
+        sync(run(x))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

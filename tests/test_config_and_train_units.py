@@ -1,0 +1,120 @@
+"""Unit tests: config presets/overrides, LR schedules, decay masking,
+feature-size arithmetic, loss functions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu import config as config_lib
+from attentionalpoolingaction_tpu import train as train_lib
+
+
+def test_presets_cover_baseline_configs():
+    names = set(config_lib.PRESETS)
+    assert names == {"mpii_rank1_224", "hico_multilabel",
+                     "mpii_pose_attention", "hmdb51_rgb",
+                     "mpii_rank5_450_mesh"}
+    for name, cfg in config_lib.PRESETS.items():
+        assert cfg.pooling in ("avg", "attention", "pose_attention")
+
+
+def test_get_config_overrides():
+    cfg = config_lib.get_config("mpii_rank1_224", batch_size=64,
+                                learning_rate=0.5)
+    assert cfg.batch_size == 64 and cfg.learning_rate == 0.5
+    with pytest.raises(TypeError):
+        config_lib.get_config("mpii_rank1_224", not_a_field=1)
+
+
+def test_parse_overrides_literals():
+    out = config_lib.parse_overrides(
+        ["batch_size=64", "bf16_backbone=False", "lr_schedule=cosine",
+         "mesh_shape=(4,2)"])
+    assert out == {"batch_size": 64, "bf16_backbone": False,
+                   "lr_schedule": "cosine", "mesh_shape": (4, 2)}
+
+
+def test_resize_defaults():
+    cfg = config_lib.get_config("mpii_rank1_224")
+    assert cfg.resize_min_resolved == 256
+    assert cfg.resize_max_resolved == 512
+    cfg450 = config_lib.get_config("mpii_rank5_450_mesh")
+    assert cfg450.resize_min_resolved == round(450 * 256 / 224)
+
+
+@pytest.mark.parametrize("size,expected", [
+    (224, 7), (448, 14), (450, 15), (64, 2), (96, 3)])
+def test_feature_size(size, expected):
+    assert train_lib.feature_size(size) == expected
+
+
+def test_lr_schedules():
+    for sched_name in ("constant", "cosine", "exponential"):
+        cfg = config_lib.get_config(
+            "mpii_rank1_224", lr_schedule=sched_name, warmup_steps=10,
+            num_steps=100)
+        sched = train_lib.make_learning_rate(cfg)
+        v0 = float(sched(0))
+        v10 = float(sched(10))
+        assert v0 == pytest.approx(0.0, abs=1e-6)  # warmup start
+        assert v10 == pytest.approx(cfg.learning_rate, rel=1e-3)
+
+
+def test_exponential_staircase():
+    cfg = config_lib.get_config("mpii_rank1_224", lr_schedule="exponential",
+                                lr_decay_steps=10, lr_decay_rate=0.5)
+    sched = train_lib.make_learning_rate(cfg)
+    assert float(sched(9)) == pytest.approx(cfg.learning_rate)
+    assert float(sched(10)) == pytest.approx(cfg.learning_rate * 0.5)
+    assert float(sched(25)) == pytest.approx(cfg.learning_rate * 0.25)
+
+
+def test_decay_mask_excludes_bn_and_biases():
+    params = {
+        "resnet": {"conv1": {"kernel": jnp.zeros((3, 3))},
+                   "conv1_bn": {"scale": jnp.zeros(3),
+                                "bias": jnp.zeros(3)}},
+        "head": {"attn_w": jnp.zeros((4, 5, 1)),
+                 "attn_b": jnp.zeros((5, 1)),
+                 "sal_w": jnp.zeros((4, 1)),
+                 "sal_b": jnp.zeros((1,))},
+    }
+    mask = train_lib._decay_mask(params)
+    assert mask["resnet"]["conv1"]["kernel"] is True
+    assert mask["resnet"]["conv1_bn"]["scale"] is False
+    assert mask["resnet"]["conv1_bn"]["bias"] is False
+    assert mask["head"]["attn_w"] is True
+    assert mask["head"]["attn_b"] is False
+    assert mask["head"]["sal_w"] is True
+
+
+def test_classification_loss_multilabel_vs_softmax():
+    logits = jnp.asarray([[2.0, -1.0, 0.5]])
+    l_soft = train_lib.classification_loss(
+        logits, jnp.asarray([0]), multi_label=False)
+    np.testing.assert_allclose(
+        float(l_soft),
+        -np.log(np.exp(2.0) / np.exp([2.0, -1.0, 0.5]).sum()), rtol=1e-5)
+    l_multi = train_lib.classification_loss(
+        logits, jnp.asarray([[1.0, 0.0, 1.0]]), multi_label=True)
+    assert float(l_multi) > 0
+
+
+def test_classification_loss_mask():
+    logits = jnp.zeros((4, 5))
+    labels = jnp.zeros((4,), jnp.int32)
+    mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    masked = train_lib.classification_loss(
+        logits, labels, multi_label=False, mask=mask)
+    full = train_lib.classification_loss(logits, labels, multi_label=False)
+    np.testing.assert_allclose(float(masked), float(full), rtol=1e-6)
+
+
+def test_label_smoothing_changes_loss():
+    logits = jnp.asarray([[3.0, 0.0, 0.0]])
+    labels = jnp.asarray([0])
+    a = train_lib.classification_loss(logits, labels, multi_label=False)
+    b = train_lib.classification_loss(logits, labels, multi_label=False,
+                                      label_smoothing=0.1)
+    assert float(b) > float(a)

@@ -26,10 +26,14 @@ def cfg8(**kw):
 
 def synth_batch(cfg, spec, rng, with_pose=False):
     b = cfg.batch_size
+    if spec.multi_label:
+        label = (rng.random((b, spec.num_classes)) > 0.9).astype(np.float32)
+    else:
+        label = rng.integers(0, spec.num_classes, b).astype(np.int32)
     batch = {
         "image": rng.normal(size=(b, cfg.image_size, cfg.image_size, 3)
                             ).astype(np.float32),
-        "label": rng.integers(0, spec.num_classes, b).astype(np.int32),
+        "label": label,
         "transform": np.tile(
             np.array([1.0, 1.0, 0.0, 0.0, 0.0], np.float32), (b, 1)),
     }
@@ -107,6 +111,64 @@ def test_sharded_eval_step(rng):
     images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
     logits = step(state.params, state.batch_stats, images)
     assert logits.shape == (16, 393)
+
+
+def test_tensor_parallel_head(rng):
+    """2D mesh (data x model): pooling-head class dim shards over 'model';
+    results must match the pure-DP run."""
+    from jax.sharding import PartitionSpec as P
+
+    # HICO: C=600 divides the model axis (MPII's 393 would stay replicated)
+    cfg = cfg8(dataset="hico", batch_size=8, mesh_shape=(4, 2),
+               mesh_axes=("data", "model"))
+    spec = get_dataset(cfg.dataset)
+    state1, _, model, tx = train_lib.create_state(cfg)
+    state2 = jax.tree.map(lambda x: jnp.array(x), state1)
+    batch = synth_batch(cfg, spec, rng)
+
+    mesh2d = mesh_lib.make_mesh((4, 2), ("data", "model"))
+    tp_step = train_lib.make_train_step(model, spec, cfg, tx, mesh2d)
+    s_tp, m_tp = tp_step(state1, mesh_lib.shard_batch(batch, mesh2d))
+    # head weights really sharded over the model axis
+    aw = s_tp.params["head"]["attn_w"]
+    assert aw.sharding.spec == P(None, "model", None)
+    assert not aw.sharding.is_fully_replicated
+
+    single = train_lib.make_train_step(model, spec, cfg, tx, mesh=None)
+    s_sd, m_sd = single(state2, jax.tree.map(jnp.asarray, batch))
+    np.testing.assert_allclose(float(m_tp["loss/total"]),
+                               float(m_sd["loss/total"]), rtol=1e-4)
+    worst = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(s_tp.params), jax.tree.leaves(s_sd.params)))
+    assert worst < 1e-4
+
+
+def test_resume_from_checkpoint(rng, tmp_path):
+    """Restart-resume is idempotent: train 4 = train 2 + resume to 4."""
+    import itertools
+
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+    cfg = cfg8(batch_size=4, mesh_shape=(1,), checkpoint_every=2)
+    spec = get_dataset(cfg.dataset)
+    batch = synth_batch(cfg, spec, rng)
+    it = lambda: itertools.repeat(batch)
+
+    sA, _ = train_lib.train(cfg, train_iter=it(), num_steps=4)
+
+    mgr = ckpt_lib.make_manager(tmp_path / "ck")
+    train_lib.train(cfg, train_iter=it(), num_steps=2,
+                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert mgr.latest_step() == 2
+    sB, _ = train_lib.train(cfg, train_iter=it(), num_steps=4,
+                            checkpoint_manager=mgr)
+    assert int(sB.step) == 4
+    worst = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)))
+    assert worst < 1e-5
 
 
 def test_multicrop_eval_sharded(rng):
