@@ -37,6 +37,9 @@ class TrainConfig:
     lr_decay_rate: float = 0.94
     warmup_steps: int = 0
     grad_clip_norm: float | None = None
+    # input pipeline
+    input_pipeline: str = "tfdata"      # tfdata | grain
+    grain_workers: int = 0              # grain multiprocess prefetch workers
     # run
     batch_size: int = 8                 # global batch
     num_steps: int = 100_000

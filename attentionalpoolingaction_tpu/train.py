@@ -270,16 +270,48 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
         mesh = mesh_lib.make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     step_fn = make_train_step(model, spec, cfg, tx, mesh)
 
+    stateful_iter = None  # a Grain iterator whose state we checkpoint
     if train_iter is None:
-        train_iter = pipeline.make_train_iterator(
-            cfg.train_pattern, spec, batch_size=cfg.batch_size,
-            image_size=cfg.image_size, resize_min=cfg.resize_min_resolved,
-            resize_max=cfg.resize_max_resolved, seed=cfg.seed)
-    if mesh is not None:
-        train_iter = pipeline.prefetch_to_device(
-            train_iter, sharding=mesh_lib.batch_sharding(mesh))
-    else:
-        train_iter = pipeline.prefetch_to_device(train_iter)
+        if cfg.input_pipeline == "grain":
+            from attentionalpoolingaction_tpu.data import grain_pipeline
+            train_iter = grain_pipeline.make_train_iterator(
+                cfg.train_pattern, spec, batch_size=cfg.batch_size,
+                image_size=cfg.image_size,
+                resize_min=cfg.resize_min_resolved,
+                resize_max=cfg.resize_max_resolved, seed=cfg.seed,
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
+                num_workers=cfg.grain_workers)
+            stateful_iter = train_iter
+        else:
+            train_iter = pipeline.make_train_iterator(
+                cfg.train_pattern, spec, batch_size=cfg.batch_size,
+                image_size=cfg.image_size,
+                resize_min=cfg.resize_min_resolved,
+                resize_max=cfg.resize_max_resolved, seed=cfg.seed)
+    elif hasattr(train_iter, "get_state"):
+        stateful_iter = train_iter
+
+    if stateful_iter is not None and checkpoint_manager is not None and (
+            checkpoint_manager.latest_step() is not None):
+        # resume the data stream exactly where it left off (Grain records
+        # its own position — SURVEY.md section 5 checkpoint/resume row)
+        iter_path = _grain_state_path(
+            checkpoint_manager, checkpoint_manager.latest_step())
+        if iter_path.exists():
+            import json
+            stateful_iter.set_state(json.loads(iter_path.read_text()))
+            log.info("resumed grain iterator from %s", iter_path)
+
+    if stateful_iter is None:
+        # tf.data path: overlap H2D with compute.  (The Grain path keeps
+        # the raw iterator so its checkpointed state matches the last
+        # consumed batch — Grain's own workers provide the overlap.)
+        if mesh is not None:
+            train_iter = pipeline.prefetch_to_device(
+                train_iter, sharding=mesh_lib.batch_sharding(mesh))
+        else:
+            train_iter = pipeline.prefetch_to_device(train_iter)
 
     num_steps = num_steps or cfg.num_steps
     history = []
@@ -299,6 +331,16 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 step % cfg.checkpoint_every == 0 or step == num_steps):
             from attentionalpoolingaction_tpu import checkpoint as ckpt
             ckpt.save(checkpoint_manager, state)
+            if stateful_iter is not None:
+                import json
+                _grain_state_path(checkpoint_manager, step).write_text(
+                    json.dumps(stateful_iter.get_state()))
         for hook in hooks:
             hook(step, state, metrics)
     return state, history
+
+
+def _grain_state_path(manager, step: int):
+    import pathlib
+
+    return pathlib.Path(manager.directory) / f"grain_iter_{step}.json"

@@ -1,0 +1,43 @@
+"""Grain input pipeline driving the real train loop, including iterator
+state checkpoint/resume (SURVEY.md section 5 checkpoint/resume row)."""
+
+import numpy as np
+
+from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+from attentionalpoolingaction_tpu import train as train_lib
+from attentionalpoolingaction_tpu.config import TrainConfig
+from attentionalpoolingaction_tpu.data import records
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+
+def grain_cfg(path, **kw):
+    base = dict(
+        dataset="mpii", backbone="resnet_v1_50", pooling="attention",
+        image_size=64, batch_size=4, bf16_backbone=False,
+        learning_rate=1e-3, grad_clip_norm=10.0, lr_schedule="constant",
+        input_pipeline="grain", train_pattern=path, resize_min=72,
+        resize_max=90, log_every=1, checkpoint_every=2)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_grain_train_and_iterator_resume(tmp_path):
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(path, spec, 12, image_size=80)
+
+    cfg = grain_cfg(path)
+    mgr = ckpt_lib.make_manager(tmp_path / "ck")
+    state, hist = train_lib.train(cfg, num_steps=2, checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert int(state.step) == 2
+    assert np.isfinite(hist[-1]["loss/total"])
+    iter_file = train_lib._grain_state_path(mgr, 2)
+    assert iter_file.exists()
+
+    # resume: continues from step 2 AND restores the grain stream position
+    state2, hist2 = train_lib.train(cfg, num_steps=4,
+                                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert int(state2.step) == 4
+    assert train_lib._grain_state_path(mgr, 4).exists()
