@@ -4,7 +4,10 @@
 Usage:
     python -m attentionalpoolingaction_tpu.eval_cli \
         --config mpii_rank1_224 --eval_pattern=/data/mpii/val-*.tfrecord \
-        --workdir=/tmp/run1 [--step 20000]
+        --workdir=/tmp/run1 [--step 20000] [--follow --poll_secs 60]
+
+``--follow`` re-evaluates each new checkpoint as it appears (the
+reference's slim.evaluation loop watching the train job's save dir).
 """
 
 from __future__ import annotations
@@ -25,6 +28,11 @@ flags.DEFINE_integer("step", None, "checkpoint step (default: latest)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None,
                     "force a JAX backend (e.g. cpu); default = env")
+flags.DEFINE_bool("follow", False,
+                  "keep polling for new checkpoints and eval each one")
+flags.DEFINE_integer("poll_secs", 60, "poll interval for --follow")
+flags.DEFINE_integer("max_evals", None,
+                     "stop --follow after this many evaluations")
 
 
 def main(argv):
@@ -41,13 +49,36 @@ def main(argv):
     cfg = config_lib.get_config(FLAGS.config, **overrides)
 
     mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
-    restored = ckpt_lib.restore_for_eval(mgr, step=FLAGS.step)
-    if restored is None:
-        raise SystemExit(
-            f"no checkpoint found under {cfg.workdir}/checkpoints")
-    results = eval_lib.evaluate(cfg, restored)
-    logging.info("eval results: %s", results)
-    print(json.dumps(results))
+
+    def eval_step(step):
+        restored = ckpt_lib.restore_for_eval(mgr, step=step)
+        if restored is None:
+            return None
+        results = eval_lib.evaluate(cfg, restored)
+        results["step"] = int(restored.step)
+        logging.info("eval results: %s", results)
+        print(json.dumps(results), flush=True)
+        return results
+
+    if not FLAGS.follow:
+        if eval_step(FLAGS.step) is None:
+            raise SystemExit(
+                f"no checkpoint found under {cfg.workdir}/checkpoints")
+        return
+
+    import time
+
+    seen = set()
+    n_evals = 0
+    while FLAGS.max_evals is None or n_evals < FLAGS.max_evals:
+        mgr.reload()
+        latest = mgr.latest_step()
+        if latest is not None and latest not in seen:
+            seen.add(latest)
+            eval_step(latest)
+            n_evals += 1
+        else:
+            time.sleep(FLAGS.poll_secs)
 
 
 if __name__ == "__main__":
