@@ -40,6 +40,7 @@ class TrainConfig:
     # input pipeline
     input_pipeline: str = "tfdata"      # tfdata | grain
     grain_workers: int = 0              # grain multiprocess prefetch workers
+    transfer_uint8: bool = True         # ship uint8, normalize on device
     # run
     batch_size: int = 8                 # global batch
     num_steps: int = 100_000

@@ -48,18 +48,20 @@ def parse_example(raw: bytes, spec: DatasetSpec) -> dict:
 
 
 def _to_features(parsed: dict, rng, spec: DatasetSpec, *, image_size,
-                 is_training, resize_min, resize_max):
+                 is_training, resize_min, resize_max,
+                 transfer_uint8=False):
     image, transform = ppnp.preprocess_image_np(
         parsed.pop("image_bytes"), out_size=image_size,
         is_training=is_training, resize_min=resize_min,
-        resize_max=resize_max, rng=rng)
+        resize_max=resize_max, rng=rng, keep_uint8=transfer_uint8)
     return {"image": image, "transform": transform, **parsed}
 
 
 def make_train_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
                        image_size: int, resize_min: int | None = None,
                        resize_max: int | None = None, seed: int = 0,
-                       shard_index: int = 0, shard_count: int = 1):
+                       shard_index: int = 0, shard_count: int = 1,
+                       transfer_uint8: bool = False):
     """Infinite shuffled Grain MapDataset of batched feature dicts
     (per-host batch).  Iterate with iter(ds) or ds.to_iter_dataset()."""
     import grain
@@ -74,7 +76,8 @@ def make_train_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
     ds = ds.random_map(
         lambda raw, rng: _to_features(
             parse_example(raw, spec), rng, spec, image_size=image_size,
-            is_training=True, resize_min=resize_min, resize_max=resize_max))
+            is_training=True, resize_min=resize_min, resize_max=resize_max,
+            transfer_uint8=transfer_uint8))
     ds = ds.batch(batch_size, drop_remainder=True,
                   batch_fn=_stack_features)
     return ds

@@ -40,14 +40,14 @@ def _base_dataset(file_pattern, spec: DatasetSpec, *, shuffle: bool,
 
 
 def _to_features(parsed, spec: DatasetSpec, *, image_size, is_training,
-                 resize_min, resize_max):
+                 resize_min, resize_max, transfer_uint8=False):
     """Map a parsed example to the model's feature dict (TF ops)."""
     import tensorflow as tf
 
     image, transform = pp.preprocess_image_tf(
         parsed["image/encoded"], out_size=image_size,
         is_training=is_training, resize_min=resize_min,
-        resize_max=resize_max)
+        resize_max=resize_max, keep_uint8=transfer_uint8)
     out = {"image": image, "transform": transform}
     if spec.multi_label:
         out["label"] = tf.cast(parsed["image/class/multi_hot"], tf.float32)
@@ -67,8 +67,12 @@ def make_train_iterator(file_pattern, spec: DatasetSpec, *,
                         resize_min: int | None = None,
                         resize_max: int | None = None,
                         seed: int = 0,
-                        shard_by_process: bool = True) -> Iterator[dict]:
-    """Infinite shuffled train iterator of numpy batches (per-host batch)."""
+                        shard_by_process: bool = True,
+                        transfer_uint8: bool = False) -> Iterator[dict]:
+    """Infinite shuffled train iterator of numpy batches (per-host batch).
+
+    ``transfer_uint8`` ships images as uint8 (4x less host->device traffic;
+    the jit'd step normalizes on device — train.normalize_images)."""
     import tensorflow as tf
 
     resize_min = resize_min or image_size
@@ -79,7 +83,8 @@ def make_train_iterator(file_pattern, spec: DatasetSpec, *,
     ds = ds.map(
         lambda p: _to_features(p, spec, image_size=image_size,
                                is_training=True, resize_min=resize_min,
-                               resize_max=resize_max),
+                               resize_max=resize_max,
+                               transfer_uint8=transfer_uint8),
         num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_size, drop_remainder=True)
     ds = ds.prefetch(tf.data.AUTOTUNE)
@@ -90,7 +95,8 @@ def make_eval_iterator(file_pattern, spec: DatasetSpec, *,
                        batch_size: int, image_size: int,
                        resize_min: int | None = None,
                        pad_to_batch: bool = True,
-                       shard_by_process: bool = False) -> Iterator[dict]:
+                       shard_by_process: bool = False,
+                       transfer_uint8: bool = False) -> Iterator[dict]:
     """One-pass eval iterator.  Pads the final short batch (with a ``mask``
     key) so shapes stay static for jit."""
     import tensorflow as tf
@@ -101,7 +107,8 @@ def make_eval_iterator(file_pattern, spec: DatasetSpec, *,
     ds = ds.map(
         lambda p: _to_features(p, spec, image_size=image_size,
                                is_training=False, resize_min=resize_min,
-                               resize_max=None),
+                               resize_max=None,
+                               transfer_uint8=transfer_uint8),
         num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_size, drop_remainder=False)
     ds = ds.prefetch(tf.data.AUTOTUNE)

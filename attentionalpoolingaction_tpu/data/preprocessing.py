@@ -28,9 +28,14 @@ R_MEAN, G_MEAN, B_MEAN = 123.68, 116.78, 103.94
 
 def preprocess_image_tf(image_bytes, *, out_size: int, is_training: bool,
                         resize_min: int, resize_max: int | None = None,
-                        seed=None):
-    """Decode + preprocess one example.  Returns (image float32 HWC,
-    transform float32 [5]).  TF ops only; call inside tf.data.map."""
+                        seed=None, keep_uint8: bool = False):
+    """Decode + preprocess one example.  Returns (image HWC, transform
+    float32 [5]).  TF ops only; call inside tf.data.map.
+
+    ``keep_uint8``: skip the mean subtraction and emit uint8 — 4x less
+    host->device transfer; the train/eval step normalizes on device
+    (train.normalize_images).  Geometry is identical; the only numeric
+    difference is rounding the bilinear resample to integers."""
     import tensorflow as tf
 
     img = tf.io.decode_jpeg(image_bytes, channels=3)
@@ -67,7 +72,10 @@ def preprocess_image_tf(image_bytes, *, out_size: int, is_training: bool,
     img = tf.image.crop_to_bounding_box(img, oy, ox, out_size, out_size)
     img = tf.cond(flip > 0,
                   lambda: tf.image.flip_left_right(img), lambda: img)
-    img = img - tf.constant([R_MEAN, G_MEAN, B_MEAN], tf.float32)
+    if keep_uint8:
+        img = tf.cast(tf.clip_by_value(tf.round(img), 0.0, 255.0), tf.uint8)
+    else:
+        img = img - tf.constant([R_MEAN, G_MEAN, B_MEAN], tf.float32)
 
     transform = tf.stack([
         scale_y, scale_x,

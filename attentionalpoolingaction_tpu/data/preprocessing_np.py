@@ -26,7 +26,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def preprocess_image_np(image_bytes: bytes, *, out_size: int,
                         is_training: bool, resize_min: int,
                         resize_max: int | None = None,
-                        rng: np.random.Generator | None = None):
+                        rng: np.random.Generator | None = None,
+                        keep_uint8: bool = False):
     """Decode + VGG preprocess one example.  Returns (image f32 HWC,
     transform f32 [scale_y, scale_x, offset_y, offset_x, flip])."""
     import cv2
@@ -58,7 +59,10 @@ def preprocess_image_np(image_bytes: bytes, *, out_size: int,
     img = img[oy:oy + out_size, ox:ox + out_size]
     if flip:
         img = img[:, ::-1]
-    img = img - np.array([R_MEAN, G_MEAN, B_MEAN], np.float32)
+    if keep_uint8:
+        img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    else:
+        img = img - np.array([R_MEAN, G_MEAN, B_MEAN], np.float32)
 
     transform = np.array(
         [scale_y, scale_x, float(oy), float(ox), float(flip)], np.float32)

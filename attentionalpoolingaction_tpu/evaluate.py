@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from attentionalpoolingaction_tpu import config as config_lib
 from attentionalpoolingaction_tpu.data.datasets import get_dataset
 from attentionalpoolingaction_tpu.ops import metrics as metrics_lib
-from attentionalpoolingaction_tpu.train import build_model
+from attentionalpoolingaction_tpu.train import build_model, normalize_images
 
 log = logging.getLogger(__name__)
 
@@ -27,7 +27,8 @@ log = logging.getLogger(__name__)
 def make_eval_step(model, mesh=None):
     def step_fn(params, batch_stats, images):
         out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images)
+            {"params": params, "batch_stats": batch_stats},
+            normalize_images(images))
         return out["logits"]
 
     if mesh is None:
@@ -46,7 +47,8 @@ def make_multicrop_eval_step(model, mesh=None):
         b, c = images.shape[:2]
         flat = images.reshape((b * c,) + images.shape[2:])
         out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, flat)
+            {"params": params, "batch_stats": batch_stats},
+            normalize_images(flat))
         return jnp.mean(out["logits"].reshape(b, c, -1), axis=1)
 
     if mesh is None:
@@ -79,7 +81,8 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
             eval_iter = pipeline.make_eval_iterator(
                 cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
                 image_size=cfg.image_size,
-                resize_min=cfg.resize_min_resolved)
+                resize_min=cfg.resize_min_resolved,
+                transfer_uint8=cfg.transfer_uint8)
 
     all_logits, all_labels, all_masks, all_vids = [], [], [], []
     for i, batch in enumerate(eval_iter):

@@ -4,6 +4,9 @@ from attentionalpoolingaction_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicated,
+    state_shardings,
 )
+from attentionalpoolingaction_tpu.parallel import multihost
 
-__all__ = ["make_mesh", "batch_sharding", "replicated"]
+__all__ = ["make_mesh", "batch_sharding", "replicated",
+           "state_shardings", "multihost"]

@@ -136,16 +136,30 @@ def pose_targets(batch, *, image_size: int, num_joints: int,
     return target, vis_b
 
 
+def normalize_images(images):
+    """Device-side VGG mean subtraction for uint8-transferred batches
+    (4x less host->device traffic than f32); float inputs pass through
+    (already normalized on host)."""
+    from attentionalpoolingaction_tpu.data.preprocessing import (
+        B_MEAN, G_MEAN, R_MEAN)
+
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        return images.astype(jnp.float32) - jnp.asarray(
+            [R_MEAN, G_MEAN, B_MEAN], jnp.float32)
+    return images
+
+
 def make_loss_fn(model, spec, cfg: config_lib.TrainConfig):
     def loss_fn(params, batch_stats, batch, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
+        images = normalize_images(batch["image"])
         if train:
             out, updates = model.apply(
-                variables, batch["image"], train=True,
+                variables, images, train=True,
                 mutable=["batch_stats"])
             new_stats = updates["batch_stats"]
         else:
-            out = model.apply(variables, batch["image"])
+            out = model.apply(variables, images)
             new_stats = batch_stats
 
         cls_loss = classification_loss(
@@ -281,14 +295,16 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 resize_max=cfg.resize_max_resolved, seed=cfg.seed,
                 shard_index=jax.process_index(),
                 shard_count=jax.process_count(),
-                num_workers=cfg.grain_workers)
+                num_workers=cfg.grain_workers,
+                transfer_uint8=cfg.transfer_uint8)
             stateful_iter = train_iter
         else:
             train_iter = pipeline.make_train_iterator(
                 cfg.train_pattern, spec, batch_size=cfg.batch_size,
                 image_size=cfg.image_size,
                 resize_min=cfg.resize_min_resolved,
-                resize_max=cfg.resize_max_resolved, seed=cfg.seed)
+                resize_max=cfg.resize_max_resolved, seed=cfg.seed,
+                transfer_uint8=cfg.transfer_uint8)
     elif hasattr(train_iter, "get_state"):
         stateful_iter = train_iter
 

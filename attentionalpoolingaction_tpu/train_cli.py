@@ -31,6 +31,9 @@ flags.DEFINE_multi_string(
     "when possible), e.g. --set batch_size=64")
 flags.DEFINE_string("jax_platform", None,
                     "force a JAX backend (e.g. cpu); default = env")
+flags.DEFINE_bool("multiprocess", False,
+                  "initialize the JAX multi-host runtime "
+                  "(jax.distributed.initialize)")
 
 
 def main(argv):
@@ -39,6 +42,10 @@ def main(argv):
         import jax
 
         jax.config.update("jax_platforms", FLAGS.jax_platform)
+    if FLAGS.multiprocess:
+        from attentionalpoolingaction_tpu.parallel import multihost
+
+        multihost.setup()
     overrides = config_lib.parse_overrides(FLAGS.set)
     for key in ("train_pattern", "eval_pattern", "workdir",
                 "init_checkpoint"):

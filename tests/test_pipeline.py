@@ -86,3 +86,24 @@ def test_eval_iterator_video_ids(tmp_path):
     batches = list(pipeline.make_eval_iterator(
         path, spec, batch_size=8, image_size=64))
     assert set(batches[0]["video_id"]) == {0, 1}
+
+
+def test_train_iterator_uint8_transfer(tmp_path):
+    """transfer_uint8 ships uint8 images; device-side normalization then
+    matches the host-normalized float path to within rounding."""
+    import jax.numpy as jnp
+
+    from attentionalpoolingaction_tpu.train import normalize_images
+
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "u8.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 6, image_size=80)
+    kw = dict(batch_size=3, image_size=64, resize_min=72)
+    b_f32 = next(iter(pipeline.make_eval_iterator(path, spec, **kw)))
+    b_u8 = next(iter(pipeline.make_eval_iterator(
+        path, spec, transfer_uint8=True, **kw)))
+    assert b_u8["image"].dtype == np.uint8
+    normed = np.asarray(normalize_images(jnp.asarray(b_u8["image"])))
+    # only difference: rounding the bilinear resample to integers
+    assert np.abs(normed - b_f32["image"]).max() <= 0.5 + 1e-4
+    np.testing.assert_allclose(b_u8["transform"], b_f32["transform"])
