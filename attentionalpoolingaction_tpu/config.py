@@ -28,6 +28,8 @@ class TrainConfig:
     pose_loss_weight: float = 0.1
     label_smoothing: float = 0.0
     weight_decay: float = 1e-4
+    freeze_bn: bool = False             # fine-tune with frozen BN stats
+    bn_momentum: float = 0.997          # slim batch_norm_decay
     # optimization (slim-era SGD+momentum defaults, SURVEY.md section 2.1)
     optimizer: str = "momentum"         # momentum | adamw
     learning_rate: float = 0.001

@@ -151,24 +151,55 @@ def feature_description(spec):
 
 
 def write_synthetic_dataset(path, spec, num_examples, *, image_size=64,
-                            seed=0, frames_per_video=4):
+                            seed=0, frames_per_video=4,
+                            class_signal=0.0, num_distinct_classes=None):
     """Emit a tiny synthetic TFRecord split for tests / CPU-runnable configs
     (SURVEY.md section 4 item 3: 'tiny synthetic TFRecords ... driving
-    train->eval end-to-end on CPU')."""
+    train->eval end-to-end on CPU').
+
+    ``class_signal`` in [0, 1] blends a class-determined color pattern into
+    the noise image, making labels learnable (for loss-goes-down /
+    overfitting tests — pure iid noise is near-unlearnable through a
+    random-init deep net).  ``num_distinct_classes`` restricts labels to a
+    subset for easy separability."""
     import tensorflow as tf
 
     rng = np.random.default_rng(seed)
+    n_cls = num_distinct_classes or spec.num_classes
+
+    def class_image(label):
+        noise = rng.integers(0, 255, (image_size, image_size, 3))
+        if not class_signal:
+            return noise.astype(np.uint8)
+        crng = np.random.default_rng(label)
+        color = crng.integers(0, 255, (1, 1, 3))
+        # a class-specific color field with a class-keyed spatial gradient
+        yy = np.linspace(0, 1, image_size)[:, None, None]
+        pattern = color * (0.5 + 0.5 * np.sin(
+            2 * np.pi * (crng.uniform(1, 3) * yy + crng.uniform())))
+        img = (1 - class_signal) * noise + class_signal * pattern
+        return np.clip(img, 0, 255).astype(np.uint8)
+
     examples = []
     for i in range(num_examples):
-        img = rng.integers(0, 255, (image_size, image_size, 3), np.uint8)
-        jpeg = tf.io.encode_jpeg(img).numpy()
         kw = dict(height=image_size, width=image_size)
         if spec.multi_label:
             mh = (rng.random(spec.num_classes) > 0.8).astype(np.int64)
-            mh[rng.integers(spec.num_classes)] = 1
+            first = int(rng.integers(n_cls))
+            mh[first] = 1
             kw["multi_hot"] = mh
+            label_for_img = first
         else:
-            kw["label"] = int(rng.integers(spec.num_classes))
+            if spec.is_video:
+                # all frames of a video share its label
+                vrng = np.random.default_rng(seed * 100003 +
+                                             i // frames_per_video)
+                kw["label"] = int(vrng.integers(n_cls))
+            else:
+                kw["label"] = int(rng.integers(n_cls))
+            label_for_img = kw["label"]
+        img = class_image(label_for_img)
+        jpeg = tf.io.encode_jpeg(img).numpy()
         if spec.has_pose:
             kw["keypoints"] = rng.uniform(
                 0, image_size, (spec.num_joints, 2)).astype(np.float32)

@@ -30,13 +30,15 @@ class ActionModel(nn.Module):
     num_joints: int = 16
     use_pallas: bool = False
     dtype: Any = jnp.float32            # backbone compute dtype (bf16 on TPU)
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, images, train: bool = False,
                  return_maps: bool = False):
         if self.pooling not in POOLING_TYPES:
             raise ValueError(f"unknown pooling {self.pooling!r}")
-        feats = BACKBONES[self.backbone](dtype=self.dtype, name="resnet")(
+        feats = BACKBONES[self.backbone](
+            dtype=self.dtype, bn_momentum=self.bn_momentum, name="resnet")(
             images, train=train, global_pool=False)
         feats = feats.astype(jnp.float32)
 

@@ -12,7 +12,7 @@ from attentionalpoolingaction_tpu.models.resnet import BACKBONES
 def get_model(backbone: str = "resnet_v1_101", *, num_classes: int,
               pooling: str = "attention", rank: int = 1,
               num_joints: int = 16, use_pallas: bool = False,
-              dtype=jnp.float32) -> ActionModel:
+              dtype=jnp.float32, bn_momentum: float = 0.997) -> ActionModel:
     if backbone not in BACKBONES:
         raise ValueError(
             f"unknown backbone {backbone!r}; available: {sorted(BACKBONES)}")
@@ -24,4 +24,5 @@ def get_model(backbone: str = "resnet_v1_101", *, num_classes: int,
         num_joints=num_joints,
         use_pallas=use_pallas,
         dtype=dtype,
+        bn_momentum=bn_momentum,
     )

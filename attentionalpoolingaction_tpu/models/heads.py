@@ -45,13 +45,21 @@ class AttentionalPoolingHead(nn.Module):
     rank: int = 1
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    init_stddev: float | None = None    # default: 1/sqrt(n*f) per branch
 
     @nn.compact
     def __call__(self, feats, return_maps: bool = False):
         b, h, w, f = feats.shape
         x = feats.reshape(b, h * w, f)
 
-        init = nn.initializers.truncated_normal(stddev=0.01)
+        # The logit is a product of two linear maps, so its initial scale is
+        # ~ std^2 * n * f * var(x).  A fixed 0.01 std (slim's conv default)
+        # puts random-init logits in the hundreds, saturating softmax and
+        # making clipped-SGD steps microscopic.  Scale each branch by
+        # (n*f)^-1/2 so initial logits are O(var(x)) instead; loading
+        # pretrained/reference weights overrides this, preserving parity.
+        std = self.init_stddev or float((h * w * f)) ** -0.5
+        init = nn.initializers.truncated_normal(stddev=std)
         attn_w = self.param("attn_w", init, (f, self.num_classes, self.rank),
                             jnp.float32)
         attn_b = self.param("attn_b", nn.initializers.zeros,

@@ -59,13 +59,15 @@ class Bottleneck(nn.Module):
     stride: int
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = functools.partial(
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         norm = functools.partial(
-            self.norm, use_running_average=not train, momentum=0.997,
+            self.norm, use_running_average=not train,
+            momentum=self.bn_momentum,
             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
 
         depth_in = x.shape[-1]
@@ -109,13 +111,15 @@ class ResNetV1(nn.Module):
     stage_strides: Sequence[int] = (2, 2, 2, 1)
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
+    bn_momentum: float = 0.997          # slim batch_norm_decay
 
     @nn.compact
     def __call__(self, x, train: bool = False, global_pool: bool = True):
         conv = functools.partial(
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         norm = functools.partial(
-            self.norm, use_running_average=not train, momentum=0.997,
+            self.norm, use_running_average=not train,
+            momentum=self.bn_momentum,
             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
@@ -136,6 +140,7 @@ class ResNetV1(nn.Module):
                     stride=unit_stride,
                     dtype=self.dtype,
                     norm=self.norm,
+                    bn_momentum=self.bn_momentum,
                     name=f"block{b}/unit_{u}",
                 )(x, train=train)
 

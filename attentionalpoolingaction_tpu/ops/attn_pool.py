@@ -121,7 +121,8 @@ def attention_maps(x, attn_w, attn_b, sal_w, sal_b, *, class_idx=None):
 def init_attn_pool_params(key, num_features, num_classes, rank=1,
                           dtype=jnp.float32, stddev=0.01):
     """Initializer for the head parameters (truncated-normal 1x1 convs, zero
-    biases — the slim head-conv default, SURVEY.md section 2.1)."""
+    biases).  NOTE: models/heads.py uses a (n*f)^-1/2 stddev by default so
+    random-init logits start O(1) — see the comment there."""
     k1, k2 = jax.random.split(key)
     return {
         "attn_w": (jax.random.truncated_normal(

@@ -153,12 +153,15 @@ def make_loss_fn(model, spec, cfg: config_lib.TrainConfig):
     def loss_fn(params, batch_stats, batch, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         images = normalize_images(batch["image"])
-        if train:
+        if train and not cfg.freeze_bn:
             out, updates = model.apply(
                 variables, images, train=True,
                 mutable=["batch_stats"])
             new_stats = updates["batch_stats"]
         else:
+            # freeze_bn: normalize with the (e.g. ImageNet) running stats,
+            # gradients still flow to BN scale/bias — the standard slim
+            # fine-tuning recipe for small batches
             out = model.apply(variables, images)
             new_stats = batch_stats
 
@@ -210,7 +213,8 @@ def build_model(cfg: config_lib.TrainConfig):
         cfg.backbone, num_classes=spec.num_classes, pooling=cfg.pooling,
         rank=cfg.rank, num_joints=spec.num_joints,
         use_pallas=cfg.use_pallas,
-        dtype=jnp.bfloat16 if cfg.bf16_backbone else jnp.float32)
+        dtype=jnp.bfloat16 if cfg.bf16_backbone else jnp.float32,
+        bn_momentum=cfg.bn_momentum)
 
 
 def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):

@@ -102,7 +102,6 @@ def test_fused_under_jit_and_vmap_composition(rng):
 
 def test_head_module_uses_pallas(rng):
     """AttentionalPoolingHead(use_pallas=True) runs off-TPU via interpret."""
-    import flax.linen as nn  # noqa: F401
 
     from attentionalpoolingaction_tpu.models.heads import (
         AttentionalPoolingHead)

@@ -1,7 +1,6 @@
 """Unit tests: config presets/overrides, LR schedules, decay masking,
 feature-size arithmetic, loss functions."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -118,3 +117,33 @@ def test_label_smoothing_changes_loss():
     b = train_lib.classification_loss(logits, labels, multi_label=False,
                                       label_smoothing=0.1)
     assert float(b) > float(a)
+
+
+def test_freeze_bn_keeps_stats():
+    import numpy as np_
+
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+    cfg = config_lib.TrainConfig(
+        dataset="mpii", backbone="resnet_v1_50", pooling="attention",
+        image_size=64, batch_size=2, bf16_backbone=False,
+        learning_rate=1e-3, lr_schedule="constant", freeze_bn=True)
+    spec = get_dataset("mpii")
+    state, _, model, tx = train_lib.create_state(cfg)
+    step = train_lib.make_train_step(model, spec, cfg, tx)
+    batch = {
+        "image": jnp.asarray(
+            np_.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+            jnp.float32),
+        "label": jnp.asarray([1, 2], jnp.int32),
+        "transform": jnp.tile(jnp.asarray([1, 1, 0, 0, 0], jnp.float32),
+                              (2, 1)),
+    }
+    import jax
+
+    before = jax.tree.map(lambda x: np_.asarray(x).copy(),
+                          state.batch_stats)
+    new_state, _ = step(state, batch)
+    after = new_state.batch_stats
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np_.testing.assert_array_equal(np_.asarray(a), np_.asarray(b))

@@ -6,7 +6,6 @@ import os
 from types import SimpleNamespace as NS
 
 import numpy as np
-import pytest
 
 from attentionalpoolingaction_tpu.data import convert_hico, convert_hmdb
 from attentionalpoolingaction_tpu.data import convert_mpii

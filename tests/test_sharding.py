@@ -5,7 +5,6 @@ with data-parallel gradient psum, sharded eval, multi-crop eval
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from attentionalpoolingaction_tpu import evaluate as eval_lib
 from attentionalpoolingaction_tpu import train as train_lib
