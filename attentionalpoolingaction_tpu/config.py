@@ -38,7 +38,10 @@ class TrainConfig:
     lr_decay_steps: int = 10_000
     lr_decay_rate: float = 0.94
     warmup_steps: int = 0
-    grad_clip_norm: float | None = None
+    # second-order pooling gradients spike early (quadratic in features);
+    # clipping is load-bearing at slim-era LRs (verified by divergence
+    # probes on v5e) and harmless otherwise
+    grad_clip_norm: float | None = 10.0
     # input pipeline
     input_pipeline: str = "tfdata"      # tfdata | grain
     grain_workers: int = 0              # grain multiprocess prefetch workers
