@@ -33,6 +33,9 @@ flags.DEFINE_bool("follow", False,
 flags.DEFINE_integer("poll_secs", 60, "poll interval for --follow")
 flags.DEFINE_integer("max_evals", None,
                      "stop --follow after this many evaluations")
+flags.DEFINE_string("out_json", None,
+                    "also append results as JSON lines to this file")
+flags.DEFINE_bool("per_class", False, "include per-class AP in results")
 
 
 def main(argv):
@@ -54,10 +57,14 @@ def main(argv):
         restored = ckpt_lib.restore_for_eval(mgr, step=step)
         if restored is None:
             return None
-        results = eval_lib.evaluate(cfg, restored)
+        results = eval_lib.evaluate(cfg, restored,
+                                    return_per_class=FLAGS.per_class)
         results["step"] = int(restored.step)
         logging.info("eval results: %s", results)
         print(json.dumps(results), flush=True)
+        if FLAGS.out_json:
+            with open(FLAGS.out_json, "a") as f:
+                f.write(json.dumps(results) + "\n")
         return results
 
     if not FLAGS.follow:

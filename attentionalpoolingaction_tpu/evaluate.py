@@ -60,8 +60,9 @@ def make_multicrop_eval_step(model, mesh=None):
 
 
 def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
-             mesh=None, max_batches=None):
-    """Returns a metrics dict for the configured dataset's protocol."""
+             mesh=None, max_batches=None, return_per_class=False):
+    """Returns a metrics dict for the configured dataset's protocol.
+    ``return_per_class`` adds the per-class AP vector (HICO analysis)."""
     from attentionalpoolingaction_tpu.data import pipeline
 
     spec = get_dataset(cfg.dataset)
@@ -111,6 +112,9 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
         m, aps = metrics_lib.mean_average_precision(labels_mh, logits)
         results["mAP"] = m
         results["num_eval_classes"] = int(np.sum(~np.isnan(aps)))
+        if return_per_class:
+            results["per_class_ap"] = [
+                None if np.isnan(a) else float(a) for a in aps]
         if not spec.multi_label:
             results["accuracy"] = metrics_lib.accuracy(labels, logits)
     else:  # HMDB51: per-video temporal averaging then accuracy

@@ -13,6 +13,7 @@ than doing it on host and shipping (H, W, K) float targets over PCIe).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # MPII joint pairs swapped under horizontal flip:
@@ -22,8 +23,10 @@ import jax.numpy as jnp
 # 8 upper-neck 9 head-top 10 r-wrist 11 r-elbow 12 r-shoulder 13 l-shoulder
 # 14 l-elbow 15 l-wrist
 MPII_NUM_JOINTS = 16
-MPII_FLIP_PERM = jnp.array(
-    [5, 4, 3, 2, 1, 0, 6, 7, 8, 9, 15, 14, 13, 12, 11, 10], dtype=jnp.int32
+# numpy (not jnp): a module-level device array would initialize the JAX
+# backend at import time, before CLIs can select a platform
+MPII_FLIP_PERM = np.array(
+    [5, 4, 3, 2, 1, 0, 6, 7, 8, 9, 15, 14, 13, 12, 11, 10], dtype=np.int32
 )
 
 
