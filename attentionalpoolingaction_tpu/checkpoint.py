@@ -44,13 +44,25 @@ def restore(manager: ocp.CheckpointManager, abstract_state, step=None):
 
 
 def restore_for_eval(manager: ocp.CheckpointManager, step=None):
-    """Restore only what inference needs (params + batch_stats + step),
-    ignoring optimizer state — robust to optimizer-config changes between
-    the training run and the eval invocation."""
+    """Restore only what inference needs (params + batch_stats + step).
+
+    Robust to (a) optimizer-config changes between the training run and the
+    eval invocation (opt state is ignored) and (b) cross-platform restores
+    (a TPU-trained checkpoint evaluated on CPU and vice versa): the saved
+    sharding metadata is overridden with the local default device instead of
+    being replayed (which would raise 'Device ... not found')."""
     step = step if step is not None else manager.latest_step()
     if step is None:
         return None
-    raw = manager.restore(step)  # raw pytree-of-arrays
+    path = str(manager.directory) + f"/{step}/default"
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.ArrayRestoreArgs(sharding=sharding, dtype=m.dtype),
+        meta_tree)
+    raw = ckptr.restore(path,
+                        args=ocp.args.PyTreeRestore(restore_args=restore_args))
     import flax
 
     @flax.struct.dataclass

@@ -57,7 +57,9 @@ def main():
     platform = jax.devices()[0].platform
     best = 0.0
     best_bs = 0
-    sizes = [256, 512] if platform != "cpu" else [8]
+    # b512 measured best on v5e (b256 ~9000, b1024 7338 img/s); one size
+    # keeps the driver's bench run short
+    sizes = [512] if platform != "cpu" else [8]
     for bs in sizes:
         try:
             rate = bench_forward(batch_size=bs)
