@@ -22,14 +22,15 @@ Layout notes (hard-won on v5e):
     relayout copy.
 
 PERF STATUS (measured on v5e, scan-chained device timing, 2026-08-16):
-correct but ~0.85x the plain jnp.einsum factorized path (e.g. B64 N196
-F2048 C600 P1: 350us vs 294us) — XLA's own fusion already keeps X
-VMEM-resident for this pattern and pipelines better.  The einsum path
-(ops/attn_pool.py) therefore stays the default hot path (use_pallas=False);
-this kernel is kept as the explicitly-schedulable variant (saliency-map
-output for free, deterministic VMEM budget) and as the base for future
-head+backbone-epilogue fusion.  Either way the head is ~2% of an
-end-to-end ResNet-101 step.
+within measurement noise of the plain jnp.einsum factorized path —
+observed 0.85x..1.19x across sessions (e.g. B64 N196 F2048 C600 P1:
+322us vs 384us in the latest run; 350us vs 294us in an earlier one).
+XLA's own fusion already keeps X VMEM-resident for this pattern, so
+neither implementation dominates.  The einsum path (ops/attn_pool.py)
+stays the default (use_pallas=False) for simplicity; this kernel is the
+explicitly-schedulable variant (saliency-map output for free,
+deterministic VMEM budget) and the base for future head+backbone-epilogue
+fusion.  Either way the head is ~2% of an end-to-end ResNet-101 step.
 
 Shapes (MPII/HICO scale): N = 49..225 spatial positions, F = 2048 channels
 (16 x 128 lanes — aligned), C <= 600 classes, P = rank <= 8.
