@@ -26,6 +26,10 @@ flags.DEFINE_string("workdir", None, "checkpoint/metrics dir")
 flags.DEFINE_string("init_checkpoint", None,
                     "converted ImageNet/slim checkpoint dir (Orbax)")
 flags.DEFINE_integer("num_steps", None, "override number of steps")
+flags.DEFINE_integer("eval_every", 0,
+                     "run eval on --eval_pattern every N steps (0 = off; "
+                     "the reference-style alternative is a separate "
+                     "eval_cli --follow job)")
 flags.DEFINE_multi_string(
     "set", [], "config overrides as field=value (parsed as python literal "
     "when possible), e.g. --set batch_size=64")
@@ -58,6 +62,17 @@ def main(argv):
     mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
     writer = metrics_writer.make_writer(cfg.workdir)
     hooks = [metrics_writer.make_train_hook(writer, cfg.log_every)]
+    if FLAGS.eval_every and cfg.eval_pattern:
+        from attentionalpoolingaction_tpu import evaluate as eval_lib
+
+        def eval_hook(step, state, metrics):
+            del metrics
+            if step % FLAGS.eval_every == 0:
+                results = eval_lib.evaluate(cfg, state)
+                metrics_writer.write_eval(writer, step, results)
+                logging.info("eval@%d: %s", step, results)
+
+        hooks.append(eval_hook)
     state, _ = train_lib.train(
         cfg, num_steps=FLAGS.num_steps, checkpoint_manager=mgr, hooks=hooks)
     mgr.wait_until_finished()
