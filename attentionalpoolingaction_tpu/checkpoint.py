@@ -104,6 +104,12 @@ def _map_slim_name(name: str, model_scope: str):
     # merge blockX/unit_Y into the single Flax module key "blockX/unit_Y"
     if len(parts) >= 2 and parts[0].startswith("block"):
         parts = [parts[0] + "/" + parts[1]] + parts[2:]
+    # only backbone scopes map onto the Flax model; classifier scopes in
+    # real slim ImageNet checkpoints (resnet_v1_101/logits/{weights,biases},
+    # (1,1,2048,1000)) and anything else unknown are skipped by the caller
+    if not (parts[0] == "conv1" or re.fullmatch(r"block\d+/unit_\d+",
+                                                parts[0])):
+        return None
     leaf = parts[-1]
     if leaf in ("weights", "biases"):
         flax_leaf = "kernel" if leaf == "weights" else "bias"

@@ -53,7 +53,9 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 1000
     workdir: str = "/tmp/attnpool_run"
-    init_checkpoint: str | None = None  # converted ImageNet ckpt (Orbax dir)
+    # fine-tune init: a TF-slim .ckpt path (converted on the fly) or an
+    # Orbax CheckpointManager dir from a previous run (warm start)
+    init_checkpoint: str | None = None
     # mesh
     mesh_shape: Sequence[int] = (1,)
     mesh_axes: Sequence[str] = ("data",)

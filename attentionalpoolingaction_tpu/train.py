@@ -190,12 +190,24 @@ def create_state(cfg: config_lib.TrainConfig, *, rng=None) -> TrainState:
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     if cfg.init_checkpoint:
-        # fine-tune init from a slim (TF1) checkpoint, new-head scopes
-        # excluded — the reference's _get_init_fn (SURVEY.md section 3.1
-        # step 8)
+        # fine-tune init, new-head scopes excluded — the reference's
+        # _get_init_fn (SURVEY.md section 3.1 step 8).  Two formats:
+        # a TF-slim .ckpt path (converted on the fly) or an Orbax
+        # CheckpointManager dir from a previous run (warm start).
+        import os
+
         from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
-        converted = ckpt_lib.convert_slim_checkpoint(
-            cfg.init_checkpoint, model_scope=cfg.backbone)
+        if os.path.isdir(cfg.init_checkpoint):
+            mgr = ckpt_lib.make_manager(cfg.init_checkpoint)
+            restored = ckpt_lib.restore_for_eval(mgr)
+            if restored is None:
+                raise ValueError(
+                    f"no checkpoint steps under {cfg.init_checkpoint}")
+            converted = {"params": restored.params,
+                         "batch_stats": restored.batch_stats}
+        else:
+            converted = ckpt_lib.convert_slim_checkpoint(
+                cfg.init_checkpoint, model_scope=cfg.backbone)
         variables = ckpt_lib.merge_pretrained(
             dict(variables), converted, exclude=("head", "pose_head"))
     tx = make_optimizer(cfg)

@@ -24,7 +24,9 @@ flags.DEFINE_string("train_pattern", None, "train TFRecord glob")
 flags.DEFINE_string("eval_pattern", None, "eval TFRecord glob")
 flags.DEFINE_string("workdir", None, "checkpoint/metrics dir")
 flags.DEFINE_string("init_checkpoint", None,
-                    "converted ImageNet/slim checkpoint dir (Orbax)")
+                    "fine-tune init: TF-slim .ckpt path (e.g. ImageNet "
+                    "resnet_v1_101.ckpt) or an Orbax checkpoint dir from "
+                    "a previous run; new-head scopes stay fresh")
 flags.DEFINE_integer("num_steps", None, "override number of steps")
 flags.DEFINE_integer("eval_every", 0,
                      "run eval on --eval_pattern every N steps (0 = off; "

@@ -106,6 +106,80 @@ def test_merge_exclude(model_and_vars):
         np.asarray(variables["params"]["resnet"]["conv1"]["kernel"]))
 
 
+def test_real_imagenet_checkpoint_layout(tmp_path, model_and_vars):
+    """Every real TF-slim ImageNet ResNet checkpoint carries classifier
+    vars (logits/{weights,biases}, (1,1,2048,1000)) and often mean_rgb /
+    global_step.  The converter must skip them (they have no Flax
+    counterpart) so --init_checkpoint fine-tuning works on real
+    checkpoints, not just backbone-only exports."""
+    import tensorflow as tf
+
+    model, variables = model_and_vars
+    path = str(tmp_path / "slim_full" / "model.ckpt")
+    ckpt_lib.export_slim_checkpoint(variables, path,
+                                    model_scope="resnet_v1_50")
+    # append classifier-scope vars the way slim's train job writes them
+    tf1 = tf.compat.v1
+    graph = tf1.Graph()
+    with graph.as_default():
+        reader = tf.train.load_checkpoint(path)
+        tf_vars = {
+            name: tf1.get_variable(name, initializer=tf1.constant(
+                reader.get_tensor(name)))
+            for name in reader.get_variable_to_shape_map()}
+        extra = {
+            "resnet_v1_50/logits/weights":
+                np.zeros((1, 1, 2048, 1000), np.float32),
+            "resnet_v1_50/logits/biases": np.zeros((1000,), np.float32),
+            "resnet_v1_50/mean_rgb": np.zeros((3,), np.float32),
+            "global_step": np.int64(123456),
+        }
+        for name, val in extra.items():
+            tf_vars[name] = tf1.get_variable(
+                name, initializer=tf1.constant(val))
+        saver = tf1.train.Saver(var_list=tf_vars)
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, path, write_meta_graph=False)
+
+    conv = ckpt_lib.convert_slim_checkpoint(path, model_scope="resnet_v1_50")
+    flat = ckpt_lib._flatten(conv["params"])
+    assert not any("logits" in p or "mean_rgb" in p for p in flat)
+    # the documented fine-tune workflow: merge must not raise
+    merged = ckpt_lib.merge_pretrained(variables, conv)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["resnet"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["resnet"]["conv1"]["kernel"]))
+
+
+def test_orbax_dir_warm_start(tmp_path):
+    """create_state(init_checkpoint=<orbax dir>) warm-starts the backbone
+    from a previous run's CheckpointManager directory."""
+    import dataclasses
+
+    from attentionalpoolingaction_tpu import train as train_lib
+    from attentionalpoolingaction_tpu.config import TrainConfig
+
+    cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                      pooling="attention", image_size=64, batch_size=2,
+                      bf16_backbone=False, lr_schedule="constant")
+    state, _, _, _ = train_lib.create_state(cfg)
+    ckdir = str(tmp_path / "prev_run")
+    mgr = ckpt_lib.make_manager(ckdir)
+    ckpt_lib.save(mgr, state)
+    mgr.wait_until_finished()
+
+    cfg2 = dataclasses.replace(cfg, init_checkpoint=ckdir, seed=99)
+    state2, _, _, _ = train_lib.create_state(cfg2)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["resnet"]["conv1"]["kernel"]),
+        np.asarray(state.params["resnet"]["conv1"]["kernel"]))
+    # head stays fresh (excluded) — different seeds give different values
+    assert not np.array_equal(
+        np.asarray(state2.params["head"]["attn_w"]),
+        np.asarray(state.params["head"]["attn_w"]))
+
+
 def test_name_map_examples():
     """Pin the exact slim <-> flax name correspondence."""
     cases = {
