@@ -3,9 +3,11 @@ pattern for HICO (600 multi-hot labels)").
 
 HICO's anno.mat carries ``list_train``/``list_test`` (filenames) and
 ``anno_train``/``anno_test`` (600 x N matrices with +1 positive, -1
-negative, 0/NaN unknown).  Unknown entries are treated as negative for the
-multi-hot target (the standard "Known Object" setting is an eval-time
-masking concern, not a storage one).
+negative, 0/NaN unknown).  The multi-hot training target treats unknown
+entries as negative (default protocol); the raw {+1,-1,0} vector is also
+stored (``image/class/anno``) so eval can run the "Known Object" protocol
+(unknown pairs excluded per class — ops/metrics.py
+mean_average_precision_known).
 
 Usage:
     python -m attentionalpoolingaction_tpu.data.convert_hico \
@@ -29,6 +31,12 @@ def anno_to_multi_hot(anno_col: np.ndarray) -> np.ndarray:
     return (col > 0).astype(np.int64)
 
 
+def anno_to_known(anno_col: np.ndarray) -> np.ndarray:
+    """(600,) of {+1,-1,0,NaN} -> {+1,-1,0} int64 (NaN folds to unknown)."""
+    col = np.nan_to_num(np.asarray(anno_col, np.float32), nan=0.0)
+    return np.sign(col).astype(np.int64)
+
+
 def write_records(filenames, anno, images_dir, out_dir, *, split,
                   shards=8):
     import tensorflow as tf
@@ -48,7 +56,8 @@ def write_records(filenames, anno, images_dir, out_dir, *, split,
             shape = tf.io.extract_jpeg_shape(jpeg).numpy()
             serialized.append(rec.make_example(
                 jpeg, height=int(shape[0]), width=int(shape[1]),
-                multi_hot=anno_to_multi_hot(col)))
+                multi_hot=anno_to_multi_hot(col),
+                anno=anno_to_known(col)))
             count += 1
         rec.write_tfrecord(path, serialized)
     return count

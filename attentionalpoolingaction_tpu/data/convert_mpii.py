@@ -77,6 +77,22 @@ def parse_mpii_mat(release) -> list[dict]:
     return out
 
 
+def assign_split(image_name: str, val_fraction: float) -> str:
+    """Deterministic train/val assignment by hashing the image name.
+
+    MPII's public release withholds activity labels on its test images
+    (act_id == -1 wherever img_train == 0), so an action-recognition val
+    split must be carved out of the *labeled training* images — the
+    reference protocol evaluates on such a held-out val split (~6987 of
+    ~22k labeled images => default fraction 0.315).  Hashing the filename
+    keeps the split stable across conversion runs and machines."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(image_name.encode()).digest()[:8], "little")
+    return "val" if (h % 10_000) < int(val_fraction * 10_000) else "train"
+
+
 def build_label_map(entries) -> dict[int, int]:
     """MPII act_ids are sparse (1..397 with gaps); map the observed ids to
     dense 0..C-1 labels, sorted for determinism."""
@@ -131,8 +147,14 @@ def main(argv=None):
     label_map = build_label_map(entries)
     logging.info("%d images, %d action classes", len(entries),
                  len(label_map))
-    for split, flag in (("train", True), ("val", False)):
-        split_entries = [e for e in entries if e["is_train"] == flag]
+    # Both train and val come from the labeled (img_train == 1) images:
+    # the public test set's act_ids are withheld (-1), so it cannot serve
+    # as an action-recognition eval split (see assign_split).
+    labeled = [e for e in entries if e["is_train"]]
+    for split in ("train", "val"):
+        split_entries = [
+            e for e in labeled
+            if assign_split(e["image_name"], FLAGS.val_fraction) == split]
         n = write_records(split_entries, FLAGS.images_dir, FLAGS.out_dir,
                           split=split, label_map=label_map,
                           shards=FLAGS.shards)
@@ -146,5 +168,8 @@ if __name__ == "__main__":
     flags.DEFINE_string("images_dir", None, "MPII images directory")
     flags.DEFINE_string("out_dir", None, "output TFRecord directory")
     flags.DEFINE_integer("shards", 32, "number of output shards per split")
+    flags.DEFINE_float("val_fraction", 0.315,
+                       "fraction of labeled training images held out as "
+                       "the val split (test labels are withheld upstream)")
     flags.mark_flags_as_required(["mat", "images_dir", "out_dir"])
     app.run(main)

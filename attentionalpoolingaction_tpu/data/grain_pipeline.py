@@ -22,7 +22,8 @@ from attentionalpoolingaction_tpu.data.datasets import DatasetSpec
 from attentionalpoolingaction_tpu.data.native_io import TFRecordDataSource
 
 
-def parse_example(raw: bytes, spec: DatasetSpec) -> dict:
+def parse_example(raw: bytes, spec: DatasetSpec, *,
+                  include_anno: bool = False) -> dict:
     """Parse a serialized tf.train.Example into numpy features (pure
     protobuf — usable in Grain workers without a TF graph)."""
     import tensorflow as tf
@@ -33,6 +34,13 @@ def parse_example(raw: bytes, spec: DatasetSpec) -> dict:
     if spec.multi_label:
         out["label"] = np.asarray(
             feats["image/class/multi_hot"].int64_list.value, np.float32)
+        if include_anno:
+            # raw {+1,-1,0} vector for Known-Object eval; all-zero when
+            # the record predates the anno field (KO then disabled)
+            anno = np.asarray(
+                feats["image/class/anno"].int64_list.value, np.int32)
+            out["anno"] = (anno if anno.size == spec.num_classes
+                           else np.zeros(spec.num_classes, np.int32))
     else:
         out["label"] = np.int32(
             feats["image/class/label"].int64_list.value[0])
@@ -94,7 +102,8 @@ def make_eval_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
     ds = grain.MapDataset.source(src).seed(0)
     ds = ds.map(
         lambda raw: _to_features(
-            parse_example(raw, spec), None, spec, image_size=image_size,
+            parse_example(raw, spec, include_anno=spec.multi_label), None,
+            spec, image_size=image_size,
             is_training=False, resize_min=resize_min, resize_max=None))
     ds = ds.map(lambda d: {**d, "mask": np.float32(1.0)})
     ds = ds.batch(batch_size, drop_remainder=False,

@@ -51,6 +51,9 @@ def _to_features(parsed, spec: DatasetSpec, *, image_size, is_training,
     out = {"image": image, "transform": transform}
     if spec.multi_label:
         out["label"] = tf.cast(parsed["image/class/multi_hot"], tf.float32)
+        if not is_training:
+            # raw {+1,-1,0} annotation for Known-Object eval masking
+            out["anno"] = tf.cast(parsed["image/class/anno"], tf.int32)
     else:
         out["label"] = tf.cast(parsed["image/class/label"], tf.int32)
     if spec.has_pose:
@@ -148,6 +151,7 @@ def make_multicrop_eval_iterator(file_pattern, spec: DatasetSpec, *,
         if spec.multi_label:
             out["label"] = tf.cast(parsed["image/class/multi_hot"],
                                    tf.float32)
+            out["anno"] = tf.cast(parsed["image/class/anno"], tf.int32)
         else:
             out["label"] = tf.cast(parsed["image/class/label"], tf.int32)
         if spec.is_video:

@@ -11,6 +11,10 @@ Feature keys:
   image/height, /width int64
   image/class/label    int64   single class id (MPII, HMDB51)
   image/class/multi_hot int64[] C-length 0/1 vector (HICO)
+  image/class/anno     int64[] C-length {+1,-1,0} raw annotation (HICO;
+                               preserves the negative/unknown distinction
+                               for Known-Object eval — optional, defaults
+                               to all-zero when absent)
   image/pose/keypoints  float[] K*2 (y, x) image-pixel coords (MPII)
   image/pose/visibility float[] K     0/1
   video/id             int64   video index (HMDB51 per-frame records)
@@ -86,6 +90,7 @@ def read_tfrecord(path):
 def make_example(image_jpeg: bytes, *, height: int, width: int,
                  label: int | None = None,
                  multi_hot: np.ndarray | None = None,
+                 anno: np.ndarray | None = None,
                  keypoints: np.ndarray | None = None,
                  visibility: np.ndarray | None = None,
                  video_id: int | None = None,
@@ -113,6 +118,8 @@ def make_example(image_jpeg: bytes, *, height: int, width: int,
         feat["image/class/label"] = _ints([label])
     if multi_hot is not None:
         feat["image/class/multi_hot"] = _ints(multi_hot)
+    if anno is not None:
+        feat["image/class/anno"] = _ints(anno)
     if keypoints is not None:
         feat["image/pose/keypoints"] = _floats(keypoints)
         feat["image/pose/visibility"] = _floats(
@@ -137,6 +144,11 @@ def feature_description(spec):
     if spec.multi_label:
         desc["image/class/multi_hot"] = tf.io.FixedLenFeature(
             [spec.num_classes], tf.int64)
+        # optional raw {+1,-1,0} annotation for Known-Object eval;
+        # all-zero default keeps old records readable (KO then disabled)
+        desc["image/class/anno"] = tf.io.FixedLenFeature(
+            [spec.num_classes], tf.int64,
+            default_value=[0] * spec.num_classes)
     else:
         desc["image/class/label"] = tf.io.FixedLenFeature([], tf.int64)
     if spec.has_pose:
@@ -188,6 +200,11 @@ def write_synthetic_dataset(path, spec, num_examples, *, image_size=64,
             first = int(rng.integers(n_cls))
             mh[first] = 1
             kw["multi_hot"] = mh
+            # raw {+1,-1,0}: positives +1, ~half the negatives known (-1)
+            anno = np.where(mh > 0, 1,
+                            np.where(rng.random(spec.num_classes) > 0.5,
+                                     -1, 0)).astype(np.int64)
+            kw["anno"] = anno
             label_for_img = first
         else:
             if spec.is_video:

@@ -52,13 +52,14 @@ def main(argv):
     cfg = config_lib.get_config(FLAGS.config, **overrides)
 
     mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    # compiled once; --follow re-evals reuse it across checkpoints
+    evaluator = eval_lib.Evaluator(cfg)
 
     def eval_step(step):
         restored = ckpt_lib.restore_for_eval(mgr, step=step)
         if restored is None:
             return None
-        results = eval_lib.evaluate(cfg, restored,
-                                    return_per_class=FLAGS.per_class)
+        results = evaluator(restored, return_per_class=FLAGS.per_class)
         results["step"] = int(restored.step)
         logging.info("eval results: %s", results)
         print(json.dumps(results), flush=True)

@@ -59,33 +59,52 @@ def make_multicrop_eval_step(model, mesh=None):
                    out_shardings=data)
 
 
-def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
-             mesh=None, max_batches=None, return_per_class=False):
-    """Returns a metrics dict for the configured dataset's protocol.
-    ``return_per_class`` adds the per-class AP vector (HICO analysis)."""
+def make_eval_input(cfg: config_lib.TrainConfig, spec):
+    """Build the eval input iterator per ``cfg.input_pipeline``.  Multi-crop
+    eval always uses tf.data (the Grain path has no multi-crop transform);
+    single-crop eval honors ``input_pipeline="grain"`` like training does."""
     from attentionalpoolingaction_tpu.data import pipeline
 
-    spec = get_dataset(cfg.dataset)
-    model = build_model(cfg)
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
-    step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
-               else make_eval_step(model, mesh))
+    if multicrop:
+        return pipeline.make_multicrop_eval_iterator(
+            cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+            image_size=cfg.image_size,
+            resize_min=cfg.resize_min_resolved,
+            num_crops=cfg.eval_multicrop)
+    if cfg.input_pipeline == "grain":
+        from attentionalpoolingaction_tpu.data import grain_pipeline
+        ds = grain_pipeline.make_eval_dataset(
+            cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+            image_size=cfg.image_size,
+            resize_min=cfg.resize_min_resolved)
+        return iter(ds)
+    return pipeline.make_eval_iterator(
+        cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+        image_size=cfg.image_size,
+        resize_min=cfg.resize_min_resolved,
+        transfer_uint8=cfg.transfer_uint8)
+
+
+def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
+             mesh=None, max_batches=None, return_per_class=False,
+             step_fn=None):
+    """Returns a metrics dict for the configured dataset's protocol.
+    ``return_per_class`` adds the per-class AP vector (HICO analysis);
+    pass a prebuilt ``step_fn`` (see :class:`Evaluator`) to reuse the
+    compiled forward across invocations."""
+    spec = get_dataset(cfg.dataset)
+    multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    if step_fn is None:
+        model = build_model(cfg)
+        step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
+                   else make_eval_step(model, mesh))
 
     if eval_iter is None:
-        if multicrop:
-            eval_iter = pipeline.make_multicrop_eval_iterator(
-                cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
-                image_size=cfg.image_size,
-                resize_min=cfg.resize_min_resolved,
-                num_crops=cfg.eval_multicrop)
-        else:
-            eval_iter = pipeline.make_eval_iterator(
-                cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
-                image_size=cfg.image_size,
-                resize_min=cfg.resize_min_resolved,
-                transfer_uint8=cfg.transfer_uint8)
+        eval_iter = make_eval_input(cfg, spec)
 
     all_logits, all_labels, all_masks, all_vids = [], [], [], []
+    all_annos = []
     for i, batch in enumerate(eval_iter):
         if max_batches is not None and i >= max_batches:
             break
@@ -93,6 +112,8 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
         all_logits.append(np.asarray(logits))
         all_labels.append(np.asarray(batch["label"]))
         all_masks.append(np.asarray(batch["mask"]))
+        if "anno" in batch:
+            all_annos.append(np.asarray(batch["anno"]))
         if spec.is_video:
             all_vids.append(np.asarray(batch["video_id"]))
 
@@ -117,6 +138,18 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
                 None if np.isnan(a) else float(a) for a in aps]
         if not spec.multi_label:
             results["accuracy"] = metrics_lib.accuracy(labels, logits)
+        if all_annos:
+            # HICO "Known Object" protocol: per class, drop unknown pairs
+            # instead of counting them as negatives.  Records without the
+            # anno field parse as all-zero -> nothing known -> skip.
+            anno = np.concatenate(all_annos)[mask]
+            if np.any(anno != 0):
+                ko, ko_aps = metrics_lib.mean_average_precision_known(
+                    anno, logits)
+                results["mAP_ko"] = ko
+                if return_per_class:
+                    results["per_class_ap_ko"] = [
+                        None if np.isnan(a) else float(a) for a in ko_aps]
     else:  # HMDB51: per-video temporal averaging then accuracy
         vids = np.concatenate(all_vids)[mask]
         _, avg, vid_labels = metrics_lib.video_average_logits(
@@ -126,3 +159,22 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
         results["num_videos"] = int(avg.shape[0])
     log.info("eval %s: %s", cfg.dataset, results)
     return results
+
+
+class Evaluator:
+    """Reusable evaluator: builds the model and jit's the eval step ONCE,
+    so repeated evaluations (train_cli --eval_every, eval_cli --follow)
+    reuse the compiled XLA program instead of re-tracing every time.
+    A fresh input iterator is built per call (eval is one pass)."""
+
+    def __init__(self, cfg: config_lib.TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        model = build_model(cfg)
+        multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+        self.step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
+                        else make_eval_step(model, mesh))
+
+    def __call__(self, state, **kwargs):
+        return evaluate(self.cfg, state, mesh=self.mesh,
+                        step_fn=self.step_fn, **kwargs)

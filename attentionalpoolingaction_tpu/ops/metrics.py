@@ -57,6 +57,28 @@ def mean_average_precision(labels, scores, ignore_empty=True):
     return float(np.nanmean(aps)), aps
 
 
+def mean_average_precision_known(anno, scores):
+    """HICO "Known Object" (KO) mAP: per class, AP is computed only over
+    images whose annotation for that class is *known* (anno != 0) — the
+    {+1, -1, 0/NaN} raw annotation distinguishes positives, negatives, and
+    unknown pairs, and the KO protocol drops the unknowns instead of
+    treating them as negatives (the default protocol does the latter).
+
+    anno: (N, C) int in {+1, -1, 0}; scores: (N, C).  Returns (mAP, aps)
+    where a class with no known positives gets NaN and is skipped."""
+    anno = np.asarray(anno)
+    scores = np.asarray(scores)
+    aps = np.full(anno.shape[1], np.nan)
+    for c in range(anno.shape[1]):
+        known = anno[:, c] != 0
+        if not known.any():
+            continue
+        aps[c] = average_precision(
+            (anno[known, c] > 0).astype(np.float64), scores[known, c])
+    valid = ~np.isnan(aps)
+    return (float(np.mean(aps[valid])) if valid.any() else 0.0), aps
+
+
 def accuracy(labels, scores):
     """Top-1 accuracy.  labels: (N,) int class ids; scores: (N, C)."""
     labels = np.asarray(labels)

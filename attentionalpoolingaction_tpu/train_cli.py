@@ -67,10 +67,14 @@ def main(argv):
     if FLAGS.eval_every and cfg.eval_pattern:
         from attentionalpoolingaction_tpu import evaluate as eval_lib
 
+        # one Evaluator for the whole run: the eval step compiles once and
+        # is reused by every in-training evaluation
+        evaluator = eval_lib.Evaluator(cfg)
+
         def eval_hook(step, state, metrics):
             del metrics
             if step % FLAGS.eval_every == 0:
-                results = eval_lib.evaluate(cfg, state)
+                results = evaluator(state)
                 metrics_writer.write_eval(writer, step, results)
                 logging.info("eval@%d: %s", step, results)
 

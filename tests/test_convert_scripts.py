@@ -72,6 +72,18 @@ def test_mpii_label_map_and_records(tmp_path):
     assert batch["label"][0] == 0
 
 
+def test_mpii_val_split_carved_from_labeled_train():
+    """The val split must come from labeled training images (public test
+    labels are withheld — ADVICE.md round 1), deterministically."""
+    names = [f"im{i:04d}.jpg" for i in range(2000)]
+    splits = {n: convert_mpii.assign_split(n, 0.315) for n in names}
+    assert splits == {n: convert_mpii.assign_split(n, 0.315) for n in names}
+    val_count = sum(1 for s in splits.values() if s == "val")
+    assert 0.25 < val_count / len(names) < 0.38
+    assert convert_mpii.assign_split("x.jpg", 0.0) == "train"
+    assert convert_mpii.assign_split("x.jpg", 1.0) == "val"
+
+
 def test_hico_multi_hot():
     col = np.array([1, -1, 0, np.nan, 1])
     np.testing.assert_array_equal(

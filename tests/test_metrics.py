@@ -7,6 +7,7 @@ from attentionalpoolingaction_tpu.ops.metrics import (
     accuracy,
     average_precision,
     mean_average_precision,
+    mean_average_precision_known,
     video_average_logits,
 )
 
@@ -39,6 +40,42 @@ def test_map_multilabel(rng):
     ref = np.mean([average_precision_score(labels[:, c], scores[:, c])
                    for c in range(8) if c != 3])
     np.testing.assert_allclose(m, ref, rtol=1e-10)
+
+
+def test_map_known_object(rng):
+    """KO mAP drops unknown (anno==0) pairs per class; equals the default
+    mAP when everything is known, differs when unknowns are misranked."""
+    anno = rng.choice([1, -1, 0], size=(60, 5), p=[0.3, 0.4, 0.3])
+    anno[0, :] = 1  # every class has a known positive
+    scores = rng.normal(size=(60, 5))
+
+    ko, aps = mean_average_precision_known(anno, scores)
+    for c in range(5):
+        known = anno[:, c] != 0
+        ref = average_precision_score(
+            (anno[known, c] > 0).astype(float), scores[known, c])
+        np.testing.assert_allclose(aps[c], ref, rtol=1e-10)
+    np.testing.assert_allclose(ko, np.mean(aps), rtol=1e-10)
+
+    # fully-known anno == default protocol on labels = (anno > 0)
+    full = np.where(anno == 0, -1, anno)
+    ko_full, _ = mean_average_precision_known(full, scores)
+    m_default, _ = mean_average_precision((full > 0).astype(float), scores)
+    np.testing.assert_allclose(ko_full, m_default, rtol=1e-10)
+
+    # an unknown high-scoring negative hurts default mAP but not KO
+    anno2 = np.full((4, 1), 1)
+    anno2[1:, 0] = 0
+    scores2 = np.array([[0.1], [0.9], [0.8], [0.7]])
+    ko2, _ = mean_average_precision_known(anno2, scores2)
+    m2, _ = mean_average_precision(
+        (anno2 > 0).astype(float), scores2)
+    assert ko2 == 1.0 and m2 < 1.0
+
+    # nothing known -> 0.0, NaN aps
+    ko3, aps3 = mean_average_precision_known(np.zeros((4, 2)), rng.normal(
+        size=(4, 2)))
+    assert ko3 == 0.0 and np.isnan(aps3).all()
 
 
 def test_accuracy():
