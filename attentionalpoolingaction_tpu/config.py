@@ -46,6 +46,10 @@ class TrainConfig:
     input_pipeline: str = "tfdata"      # tfdata | grain
     grain_workers: int = 0              # grain multiprocess prefetch workers
     transfer_uint8: bool = True         # ship uint8, normalize on device
+    # video datasets (HMDB51) + grain: per-epoch random-frame sampling at
+    # the video level (each epoch = one fresh frame per video); False
+    # iterates the pre-extracted frames directly
+    video_frame_sampling: bool = True
     # run
     batch_size: int = 8                 # global batch
     num_steps: int = 100_000
@@ -88,9 +92,10 @@ PRESETS: dict[str, TrainConfig] = {
         dataset="mpii", pooling="pose_attention", rank=1, image_size=448,
         batch_size=32, pose_loss_weight=0.1, learning_rate=0.01),
     # 4: "HMDB51 video: per-frame attn-pooled logits + temporal averaging"
+    # (grain pipeline => per-epoch random-frame sampling per video)
     "hmdb51_rgb": TrainConfig(
         dataset="hmdb51", pooling="attention", rank=1, image_size=224,
-        batch_size=64, learning_rate=0.01),
+        batch_size=64, learning_rate=0.01, input_pipeline="grain"),
     # 5: "High-res multi-rank: rank-k bilinear pooling at 450px, multi-crop
     #     eval on TPU mesh"
     "mpii_rank5_450_mesh": TrainConfig(

@@ -52,6 +52,8 @@ def parse_example(raw: bytes, spec: DatasetSpec, *,
             feats["image/pose/visibility"].float_list.value, np.float32)
     if spec.is_video:
         out["video_id"] = np.int32(feats["video/id"].int64_list.value[0])
+        fr = feats["video/frame"].int64_list.value
+        out["frame"] = np.int32(fr[0] if fr else 0)
     return out
 
 
@@ -86,6 +88,63 @@ def make_train_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
             parse_example(raw, spec), rng, spec, image_size=image_size,
             is_training=True, resize_min=resize_min, resize_max=resize_max,
             transfer_uint8=transfer_uint8))
+    ds = ds.batch(batch_size, drop_remainder=True,
+                  batch_fn=_stack_features)
+    return ds
+
+
+def build_video_index(src, spec: DatasetSpec) -> dict[int, list[int]]:
+    """Group record indices by video id (one scan over the source).
+
+    HMDB records are per-frame (convert_hmdb stores up to frames_per_video
+    frames per video); training-time temporal sampling draws a random
+    frame per video per epoch, so the index must know which records belong
+    to which video (SURVEY.md section 1 L2 "HMDB adds frame sampling")."""
+    import tensorflow as tf
+
+    by_vid: dict[int, list[int]] = {}
+    for i in range(len(src)):
+        ex = tf.train.Example.FromString(src[i])
+        vid = int(ex.features.feature["video/id"].int64_list.value[0])
+        by_vid.setdefault(vid, []).append(i)
+    return by_vid
+
+
+def make_video_train_dataset(pattern, spec: DatasetSpec, *,
+                             batch_size: int, image_size: int,
+                             resize_min: int | None = None,
+                             resize_max: int | None = None, seed: int = 0,
+                             shard_index: int = 0, shard_count: int = 1,
+                             transfer_uint8: bool = False):
+    """Video-level train dataset with per-epoch temporal frame sampling.
+
+    The Grain index is the set of VIDEOS (not frames): each epoch visits
+    every video once in a fresh shuffle and draws ONE random frame from
+    its stored frames — so frame selection varies across epochs (the
+    reference-era HMDB training protocol), unlike iterating pre-extracted
+    frames directly.  Eval keeps deterministic uniform sampling
+    (convert_hmdb.sample_frame_indices) and per-video logit averaging."""
+    import grain
+
+    resize_min = resize_min or image_size
+    resize_max = resize_max or int(resize_min * 512 / 256)
+    src = TFRecordDataSource(pattern)
+    by_vid = build_video_index(src, spec)
+    frame_lists = [by_vid[v] for v in sorted(by_vid)]
+
+    ds = grain.MapDataset.source(frame_lists).seed(seed)
+    if shard_count > 1:
+        ds = ds.slice(slice(shard_index, None, shard_count))
+    ds = ds.shuffle().repeat()
+
+    def sample(frame_idxs, rng):
+        raw = src[frame_idxs[rng.integers(len(frame_idxs))]]
+        return _to_features(
+            parse_example(raw, spec), rng, spec, image_size=image_size,
+            is_training=True, resize_min=resize_min, resize_max=resize_max,
+            transfer_uint8=transfer_uint8)
+
+    ds = ds.random_map(sample)
     ds = ds.batch(batch_size, drop_remainder=True,
                   batch_fn=_stack_features)
     return ds
@@ -132,12 +191,17 @@ def _pad_batch(batch, batch_size):
 
 
 def make_train_iterator(pattern, spec: DatasetSpec, *, num_workers: int = 0,
-                        read_buffer: int = 2, **kw):
+                        read_buffer: int = 2, video_sampling: bool = False,
+                        **kw):
     """Iterator over train batches with optional multiprocess prefetch
-    (Grain worker pool — the host-overlap path)."""
+    (Grain worker pool — the host-overlap path).  ``video_sampling``
+    switches to the video-indexed dataset with per-epoch random frame
+    selection (HMDB training protocol)."""
     import grain
 
-    ds = make_train_dataset(pattern, spec, **kw)
+    maker = make_video_train_dataset if video_sampling else (
+        make_train_dataset)
+    ds = maker(pattern, spec, **kw)
     it_ds = ds.to_iter_dataset()
     if num_workers:
         it_ds = it_ds.mp_prefetch(

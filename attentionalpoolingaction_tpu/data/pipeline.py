@@ -180,11 +180,22 @@ def make_multicrop_eval_iterator(file_pattern, spec: DatasetSpec, *,
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Overlap host batch production + H2D copy with device compute: keep
     ``size`` batches in flight on device (jax.device_put is async).  Pass a
-    NamedSharding to place global batches across a mesh."""
+    NamedSharding to place batches across a mesh.
+
+    Single-process: the iterator's batch IS the global batch — device_put
+    lays it out over the (local) mesh.  Multi-process: the iterator yields
+    this host's 1/process_count share, and the global array is assembled
+    from per-process local shards (the mesh spans non-addressable devices,
+    where device_put of host data is invalid)."""
     queue = collections.deque()
+    multiprocess = jax.process_count() > 1
 
     def _put(batch):
         if sharding is not None:
+            if multiprocess:
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)), batch)
             return jax.tree.map(
                 lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)

@@ -38,6 +38,13 @@ def make_mesh(shape: Sequence[int] = None,
     return Mesh(dev_array, axis_names)
 
 
+def model_axis_of(mesh: Mesh) -> str | None:
+    """The tensor-parallel axis name if the mesh has a non-trivial one."""
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return "model"
+    return None
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over ``axis``."""
     return NamedSharding(mesh, P(axis))

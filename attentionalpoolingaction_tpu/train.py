@@ -252,8 +252,7 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
 
     # TP: shard the pooling head's class dim over a "model" mesh axis when
     # present (SURVEY.md section 2.3); otherwise replicate all state.
-    model_axis = "model" if "model" in mesh.axis_names and (
-        mesh.shape["model"] > 1) else None
+    model_axis = mesh_lib.model_axis_of(mesh)
 
     def jit_with_state(state_example):
         st_sh = mesh_lib.state_shardings(mesh, state_example,
@@ -285,38 +284,59 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     from attentionalpoolingaction_tpu.data import pipeline
 
     state, spec, model, tx = create_state(cfg)
-    if checkpoint_manager is not None and (
-            checkpoint_manager.latest_step() is not None):
-        # idempotent restart-resume (SURVEY.md section 5 "Failure
-        # detection" row): restore step/params/opt state and continue
-        from attentionalpoolingaction_tpu import checkpoint as ckpt
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-        state = ckpt.restore(checkpoint_manager, abstract)
-        log.info("resumed from checkpoint at step %d", int(state.step))
     mesh = None
     if len(jax.devices()) > 1 and cfg.mesh_shape and (
             int(jnp.prod(jnp.asarray(cfg.mesh_shape))) > 1):
         mesh = mesh_lib.make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    if checkpoint_manager is not None and (
+            checkpoint_manager.latest_step() is not None):
+        # idempotent restart-resume (SURVEY.md section 5 "Failure
+        # detection" row): restore step/params/opt state and continue.
+        # With a mesh, restore directly into the shardings the train step
+        # consumes (state replicated / head TP-sharded) — no intermediate
+        # single-device copy, and the resharding is explicit.
+        from attentionalpoolingaction_tpu import checkpoint as ckpt
+        if mesh is not None:
+            shardings = mesh_lib.state_shardings(
+                mesh, state, model_axis=mesh_lib.model_axis_of(mesh))
+            abstract = jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                  sharding=s),
+                state, shardings)
+        else:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        state = ckpt.restore(checkpoint_manager, abstract)
+        log.info("resumed from checkpoint at step %d", int(state.step))
     step_fn = make_train_step(model, spec, cfg, tx, mesh)
+
+    # cfg.batch_size is the GLOBAL batch; each process's pipeline produces
+    # its 1/process_count share (the standard JAX multi-host recipe —
+    # SURVEY.md section 2.3 DP row)
+    if cfg.batch_size % jax.process_count():
+        raise ValueError(
+            f"global batch_size {cfg.batch_size} not divisible by "
+            f"process_count {jax.process_count()}")
+    host_batch = cfg.batch_size // jax.process_count()
 
     stateful_iter = None  # a Grain iterator whose state we checkpoint
     if train_iter is None:
         if cfg.input_pipeline == "grain":
             from attentionalpoolingaction_tpu.data import grain_pipeline
             train_iter = grain_pipeline.make_train_iterator(
-                cfg.train_pattern, spec, batch_size=cfg.batch_size,
+                cfg.train_pattern, spec, batch_size=host_batch,
                 image_size=cfg.image_size,
                 resize_min=cfg.resize_min_resolved,
                 resize_max=cfg.resize_max_resolved, seed=cfg.seed,
                 shard_index=jax.process_index(),
                 shard_count=jax.process_count(),
                 num_workers=cfg.grain_workers,
-                transfer_uint8=cfg.transfer_uint8)
+                transfer_uint8=cfg.transfer_uint8,
+                video_sampling=spec.is_video and cfg.video_frame_sampling)
             stateful_iter = train_iter
         else:
             train_iter = pipeline.make_train_iterator(
-                cfg.train_pattern, spec, batch_size=cfg.batch_size,
+                cfg.train_pattern, spec, batch_size=host_batch,
                 image_size=cfg.image_size,
                 resize_min=cfg.resize_min_resolved,
                 resize_max=cfg.resize_max_resolved, seed=cfg.seed,
@@ -327,9 +347,16 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     if stateful_iter is not None and checkpoint_manager is not None and (
             checkpoint_manager.latest_step() is not None):
         # resume the data stream exactly where it left off (Grain records
-        # its own position — SURVEY.md section 5 checkpoint/resume row)
+        # its own position — SURVEY.md section 5 checkpoint/resume row).
+        # State is per-process: each host has its own iterator over its
+        # input shard, so each saves/restores its own file.
         iter_path = _grain_state_path(
-            checkpoint_manager, checkpoint_manager.latest_step())
+            checkpoint_manager, checkpoint_manager.latest_step(),
+            jax.process_index())
+        if not iter_path.exists() and jax.process_count() == 1:
+            # legacy single-process layout (round-1 checkpoints)
+            iter_path = _grain_state_path(
+                checkpoint_manager, checkpoint_manager.latest_step(), None)
         if iter_path.exists():
             import json
             stateful_iter.set_state(json.loads(iter_path.read_text()))
@@ -365,14 +392,37 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             ckpt.save(checkpoint_manager, state)
             if stateful_iter is not None:
                 import json
-                _grain_state_path(checkpoint_manager, step).write_text(
-                    json.dumps(stateful_iter.get_state()))
+                _grain_state_path(
+                    checkpoint_manager, step, jax.process_index()
+                ).write_text(json.dumps(stateful_iter.get_state()))
+                _gc_grain_state(checkpoint_manager, keep_step=step)
         for hook in hooks:
             hook(step, state, metrics)
     return state, history
 
 
-def _grain_state_path(manager, step: int):
+def _grain_state_path(manager, step: int, process_index: int | None):
+    """Grain iterator state file beside the Orbax step dirs.  One file per
+    process — each host checkpoints its OWN iterator over its input shard
+    (a single shared file would be last-writer-wins across hosts).
+    ``process_index=None`` is the legacy single-file layout, read-only."""
     import pathlib
 
-    return pathlib.Path(manager.directory) / f"grain_iter_{step}.json"
+    suffix = "" if process_index is None else f"_p{process_index}"
+    return pathlib.Path(
+        manager.directory) / f"grain_iter_{step}{suffix}.json"
+
+
+def _gc_grain_state(manager, keep_step: int):
+    """Drop iterator-state files for steps Orbax has pruned (max_to_keep),
+    so stale JSONs can't pair with deleted checkpoints.  ``keep_step`` is
+    the just-saved step (async save may not list it yet)."""
+    import re
+
+    keep = set(manager.all_steps()) | {keep_step}
+    import pathlib
+
+    for p in pathlib.Path(manager.directory).glob("grain_iter_*.json"):
+        m = re.fullmatch(r"grain_iter_(\d+)(?:_p\d+)?\.json", p.name)
+        if m and int(m.group(1)) not in keep:
+            p.unlink(missing_ok=True)

@@ -32,7 +32,7 @@ def test_grain_train_and_iterator_resume(tmp_path):
     mgr.wait_until_finished()
     assert int(state.step) == 2
     assert np.isfinite(hist[-1]["loss/total"])
-    iter_file = train_lib._grain_state_path(mgr, 2)
+    iter_file = train_lib._grain_state_path(mgr, 2, 0)
     assert iter_file.exists()
 
     # resume: continues from step 2 AND restores the grain stream position
@@ -40,4 +40,4 @@ def test_grain_train_and_iterator_resume(tmp_path):
                                     checkpoint_manager=mgr)
     mgr.wait_until_finished()
     assert int(state2.step) == 4
-    assert train_lib._grain_state_path(mgr, 4).exists()
+    assert train_lib._grain_state_path(mgr, 4, 0).exists()

@@ -170,6 +170,113 @@ def test_resume_from_checkpoint(rng, tmp_path):
     assert worst < 1e-5
 
 
+def test_resume_under_mesh(rng, tmp_path):
+    """Resume restores straight into mesh shardings: checkpoint written by
+    an 8-way DP run resumes on the same mesh and matches the continuous
+    run (VERDICT r1 weak #4)."""
+    import itertools
+
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+    cfg = cfg8(batch_size=8, mesh_shape=(8,), checkpoint_every=2)
+    spec = get_dataset(cfg.dataset)
+    batch = synth_batch(cfg, spec, rng)
+    it = lambda: itertools.repeat(batch)
+
+    sA, _ = train_lib.train(cfg, train_iter=it(), num_steps=4)
+
+    mgr = ckpt_lib.make_manager(tmp_path / "ck_mesh")
+    train_lib.train(cfg, train_iter=it(), num_steps=2,
+                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    sB, _ = train_lib.train(cfg, train_iter=it(), num_steps=4,
+                            checkpoint_manager=mgr)
+    assert int(sB.step) == 4
+    assert jax.tree.leaves(sB.params)[0].sharding.is_fully_replicated
+    worst = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)))
+    assert worst < 1e-5
+
+
+def test_resume_under_2d_mesh_tp(rng, tmp_path):
+    """Resume onto a (4,2) data x model mesh: the head restores SHARDED
+    over the model axis and training continues to the same result."""
+    import itertools
+
+    from jax.sharding import PartitionSpec as P
+
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+    cfg = cfg8(dataset="hico", batch_size=8, mesh_shape=(4, 2),
+               mesh_axes=("data", "model"), checkpoint_every=2)
+    spec = get_dataset(cfg.dataset)
+    batch = synth_batch(cfg, spec, rng)
+    it = lambda: itertools.repeat(batch)
+
+    sA, _ = train_lib.train(cfg, train_iter=it(), num_steps=4)
+
+    mgr = ckpt_lib.make_manager(tmp_path / "ck_tp")
+    train_lib.train(cfg, train_iter=it(), num_steps=2,
+                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    sB, _ = train_lib.train(cfg, train_iter=it(), num_steps=4,
+                            checkpoint_manager=mgr)
+    assert int(sB.step) == 4
+    assert sB.params["head"]["attn_w"].sharding.spec == P(
+        None, "model", None)
+    worst = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)))
+    assert worst < 1e-5
+
+
+def test_grain_state_files_per_process_and_gc(rng, tmp_path):
+    """Grain iterator state is per-process (grain_iter_<step>_p<i>.json)
+    and files for Orbax-pruned steps are garbage-collected."""
+    import itertools
+
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+    cfg = cfg8(batch_size=4, mesh_shape=(1,), checkpoint_every=1)
+    spec = get_dataset(cfg.dataset)
+    batch = synth_batch(cfg, spec, rng)
+
+    class FakeStatefulIter:
+        def __init__(self):
+            self.n = 0
+
+        def __next__(self):
+            self.n += 1
+            return batch
+
+        def __iter__(self):
+            return self
+
+        def get_state(self):
+            return {"n": self.n}
+
+        def set_state(self, s):
+            self.n = s["n"]
+
+    mgr = ckpt_lib.make_manager(tmp_path / "ck_grain", max_to_keep=2)
+    it = FakeStatefulIter()
+    train_lib.train(cfg, train_iter=it, num_steps=5,
+                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    files = sorted(p.name for p in (tmp_path / "ck_grain").glob(
+        "grain_iter_*.json"))
+    kept = set(mgr.all_steps())
+    assert files == sorted(f"grain_iter_{s}_p0.json" for s in kept)
+    assert 5 in kept and 1 not in kept  # max_to_keep pruned early steps
+
+    # resume picks up the per-process file
+    it2 = FakeStatefulIter()
+    train_lib.train(cfg, train_iter=it2, num_steps=6,
+                    checkpoint_manager=mgr)
+    assert it2.n == 6  # restored n=5, then one more batch
+
+
 def test_multicrop_eval_sharded(rng):
     """Crops fold into the sharded batch dim (BASELINE.json config #5)."""
     cfg = cfg8(eval_multicrop=3)
