@@ -29,6 +29,10 @@ class TrainConfig:
     label_smoothing: float = 0.0
     weight_decay: float = 1e-4
     freeze_bn: bool = False             # fine-tune with frozen BN stats
+    # rematerialize bottleneck units in the backward pass (saves stored-
+    # activation HBM traffic at +33% conv FLOPs; measured per-config on
+    # v5e -- see ARCHITECTURE.md roofline)
+    remat_units: bool = False
     bn_momentum: float = 0.997          # slim batch_norm_decay
     # optimization (slim-era SGD+momentum defaults, SURVEY.md section 2.1)
     optimizer: str = "momentum"         # momentum | adamw
@@ -98,10 +102,12 @@ PRESETS: dict[str, TrainConfig] = {
         batch_size=64, learning_rate=0.01, input_pipeline="grain"),
     # 5: "High-res multi-rank: rank-k bilinear pooling at 450px, multi-crop
     #     eval on TPU mesh"
+    # (use_pallas left off: the einsum head measured faster — see
+    # ops/attn_pool_pallas.py PERF STATUS)
     "mpii_rank5_450_mesh": TrainConfig(
         dataset="mpii", pooling="attention", rank=5, image_size=450,
         batch_size=64, mesh_shape=(8,), eval_multicrop=3,
-        learning_rate=0.01, use_pallas=True),
+        learning_rate=0.01),
 }
 
 

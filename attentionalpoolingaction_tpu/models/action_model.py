@@ -31,6 +31,7 @@ class ActionModel(nn.Module):
     use_pallas: bool = False
     dtype: Any = jnp.float32            # backbone compute dtype (bf16 on TPU)
     bn_momentum: float = 0.997
+    remat_units: bool = False           # rematerialize bottlenecks in bwd
 
     @nn.compact
     def __call__(self, images, train: bool = False,
@@ -38,7 +39,8 @@ class ActionModel(nn.Module):
         if self.pooling not in POOLING_TYPES:
             raise ValueError(f"unknown pooling {self.pooling!r}")
         feats = BACKBONES[self.backbone](
-            dtype=self.dtype, bn_momentum=self.bn_momentum, name="resnet")(
+            dtype=self.dtype, bn_momentum=self.bn_momentum,
+            remat_units=self.remat_units, name="resnet")(
             images, train=train, global_pool=False)
         feats = feats.astype(jnp.float32)
 

@@ -12,7 +12,8 @@ from attentionalpoolingaction_tpu.models.resnet import BACKBONES
 def get_model(backbone: str = "resnet_v1_101", *, num_classes: int,
               pooling: str = "attention", rank: int = 1,
               num_joints: int = 16, use_pallas: bool = False,
-              dtype=jnp.float32, bn_momentum: float = 0.997) -> ActionModel:
+              dtype=jnp.float32, bn_momentum: float = 0.997,
+              remat_units: bool = False) -> ActionModel:
     if backbone not in BACKBONES:
         raise ValueError(
             f"unknown backbone {backbone!r}; available: {sorted(BACKBONES)}")
@@ -25,4 +26,5 @@ def get_model(backbone: str = "resnet_v1_101", *, num_classes: int,
         use_pallas=use_pallas,
         dtype=dtype,
         bn_momentum=bn_momentum,
+        remat_units=remat_units,
     )

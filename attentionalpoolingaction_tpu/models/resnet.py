@@ -112,6 +112,12 @@ class ResNetV1(nn.Module):
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
     bn_momentum: float = 0.997          # slim batch_norm_decay
+    # rematerialize each bottleneck in the backward pass: only unit
+    # INPUTS are saved; the unit recomputes forward during backprop.
+    # Trades ~+33% conv FLOPs for less stored-activation HBM traffic —
+    # the train step is HBM-bandwidth-bound on v5e (ARCHITECTURE.md
+    # roofline), so this can pay; measured per-config.
+    remat_units: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, global_pool: bool = True):
@@ -128,13 +134,16 @@ class ResNetV1(nn.Module):
         x = nn.relu(norm(name="conv1_bn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
+        unit_cls = Bottleneck
+        if self.remat_units:
+            unit_cls = nn.remat(Bottleneck, static_argnums=(2,))
         for b, (num_units, block_stride) in enumerate(
                 zip(self.stage_sizes, self.stage_strides), start=1):
             base_depth = 64 * (2 ** (b - 1))
             for u in range(1, num_units + 1):
                 # slim: stride applies to the LAST unit of the block
                 unit_stride = block_stride if u == num_units else 1
-                x = Bottleneck(
+                x = unit_cls(
                     depth=base_depth * 4,
                     depth_bottleneck=base_depth,
                     stride=unit_stride,
@@ -142,7 +151,7 @@ class ResNetV1(nn.Module):
                     norm=self.norm,
                     bn_momentum=self.bn_momentum,
                     name=f"block{b}/unit_{u}",
-                )(x, train=train)
+                )(x, train)
 
         if global_pool:
             x = jnp.mean(x, axis=(1, 2))

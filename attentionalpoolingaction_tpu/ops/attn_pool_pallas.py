@@ -21,16 +21,30 @@ Layout notes (hard-won on v5e):
   * no in-kernel reshape of (BT, N, F) to (BT*N, F): N % 8 != 0 forces a
     relayout copy.
 
-PERF STATUS (measured on v5e, scan-chained device timing, 2026-08-16):
-within measurement noise of the plain jnp.einsum factorized path —
-observed 0.85x..1.19x across sessions (e.g. B64 N196 F2048 C600 P1:
-322us vs 384us in the latest run; 350us vs 294us in an earlier one).
-XLA's own fusion already keeps X VMEM-resident for this pattern, so
-neither implementation dominates.  The einsum path (ops/attn_pool.py)
-stays the default (use_pallas=False) for simplicity; this kernel is the
-explicitly-schedulable variant (saliency-map output for free,
-deterministic VMEM budget) and the base for future head+backbone-epilogue
-fusion.  Either way the head is ~2% of an end-to-end ResNet-101 step.
+PERF STATUS — PARKED (decision 2026-08-16, round 2; VERDICT r1 item 5):
+measured with a validated harness (loop-carried 1-element perturbation so
+XLA cannot eliminate/hoist the op, device time read from the profiler's
+XLA-module clock — scripts/tpu_checks.py::timeit documents why everything
+simpler lies through the axon tunnel), on v5e:
+
+    B64  N196 F2048 C600 P1: fused  84us  einsum 49us  (0.58x)
+    B64  N196 F2048 C600 P5: fused  81us  einsum 36us  (0.45x)
+    B256 N49  F2048 C393 P1: fused 156us  einsum 67us  (0.43x)
+
+Round-1's "0.85-1.19x, noise-level" numbers were a measurement artifact
+(fixed ~30 ms dispatch RTT divided by the iteration count).  The einsum
+path wins because XLA keeps the 51 MB X operand VMEM-resident across
+consumers and pipelines the three skinny matmuls better than this
+kernel's explicit grid (whose in_specs force an HBM round-trip per block).
+The in-kernel class projection (fused_pool_logits, below) was built and
+measured as VERDICT r1 asked; it does not close the gap — the v round-trip
+it saves is ~1% of the X traffic.  Per the r1 acceptance gate (>=1.3x or
+park), this kernel is PARKED: correct, tested (interpret mode + compiled-
+Mosaic vs oracle), flag-gated off by default (use_pallas=False), kept as
+the explicitly-scheduled variant with a deterministic VMEM budget and a
+free saliency-map output.  The head is ~2% of an end-to-end train step
+either way; further investment goes to the data path and the backbone
+(see ARCHITECTURE.md roofline).
 
 Shapes (MPII/HICO scale): N = 49..225 spatial positions, F = 2048 channels
 (16 x 128 lanes — aligned), C <= 600 classes, P = rank <= 8.
@@ -102,6 +116,109 @@ def _fused_pool_kernel(x_ref, salw_ref, salb_ref, v_ref, s_ref, *,
     s_ref[...] = jnp.transpose(s, (0, 2, 1))
 
 
+def _fused_pool_logits_kernel(x_ref, salw_ref, salb_ref, attnw_ref,
+                              attnb_ref, v_ref, s_ref, out_ref, *,
+                              batch_tile, rank):
+    """Fully-fused pass: s = X@b + beta ; v = X^T s ; logits = v*A + ...
+
+    Extends _fused_pool_kernel with the class projection in-kernel: the
+    per-class weights A (F, C, P) stay VMEM-resident across the whole grid
+    and the (BT, C) logit tile is produced without writing/re-reading the
+    f32 summary v through HBM (VERDICT r1 item 5: "fuse the class
+    projection").  v and s are still emitted for the custom VJP and the
+    saliency visualization.
+    """
+    x = x_ref[...]                                   # (BT, N, F)
+    salw = salw_ref[...]                             # (F, P)
+    s = jax.lax.dot_general(
+        x, salw.astype(x.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BT, N, P)
+    s = s + salb_ref[0][None, None, :]
+    v = jax.lax.dot_general(
+        s.astype(x.dtype), x,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (BT, P, F)
+    v_ref[...] = v
+    s_ref[...] = jnp.transpose(s, (0, 2, 1))
+    # class projection: logits = sum_p v[:, p, :] @ A[p]
+    # (A arrives as (P, F, C): P minormost would lane-pad 1 -> 128, a
+    # 128x VMEM blowup — same rule as the v/s outputs above)
+    aw = attnw_ref[...]                              # (P, F, C) f32
+    acc = jax.lax.dot_general(
+        v[:, 0, :], aw[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BT, C)
+    for p in range(1, rank):
+        acc = acc + jax.lax.dot_general(
+            v[:, p, :], aw[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    # bias term: (sum_n s_np) alpha_cp — alpha arrives as (P, C)
+    ssum = jnp.sum(s, axis=1)                        # (BT, P) f32
+    acc = acc + jax.lax.dot_general(
+        ssum, attnb_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BT, C)
+    # out block is (BT, 1, C): with BT < 8 a 2D (BT, C) block would break
+    # Mosaic's (8, 128) tiling rule; the unit middle dim satisfies it
+    out_ref[...] = acc[:, None, :]
+
+
+# A (F, C, P) f32 must fit in VMEM next to the double-buffered X tiles;
+# beyond this budget the projection falls back to XLA (rank-5 HICO etc.)
+_PROJ_VMEM_BUDGET_BYTES = 10_000_000
+
+
+def fused_pool_logits(x, attn_w, attn_b, sal_w, sal_b, *, interpret=False):
+    """Fully-fused (logits, v, s) — one kernel, X read from HBM once,
+    logits never round-trip the summary v through HBM."""
+    b, n, f = x.shape
+    c, p = attn_b.shape
+    bt = _pick_batch_tile(b, n, f, x.dtype.itemsize)
+    v, s, logits = pl.pallas_call(
+        functools.partial(_fused_pool_logits_kernel, batch_tile=bt,
+                          rank=p),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, n, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, f, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, p, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, p, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * f * p + 2 * b * f * c * p,
+            bytes_accessed=b * n * f * x.dtype.itemsize
+            + b * p * (f + n) * 4 + f * p * 4 + f * c * p * 4 + b * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, sal_w.astype(jnp.float32),
+      sal_b.astype(jnp.float32).reshape(1, p),
+      jnp.transpose(attn_w.astype(jnp.float32), (2, 0, 1)),
+      jnp.transpose(attn_b.astype(jnp.float32)))
+    return logits[:, 0, :], v, s
+
+
 def saliency_summary(x, sal_w, sal_b, *, interpret=False):
     """Fused (v, s) for a batch.
 
@@ -151,6 +268,16 @@ def _project_logits(v, s, attn_w, attn_b):
     return vw + ssum @ jnp.transpose(attn_b.astype(jnp.float32))
 
 
+def _fwd_impl(x, attn_w, attn_b, sal_w, sal_b, interpret):
+    if attn_w.size * 4 <= _PROJ_VMEM_BUDGET_BYTES:
+        logits, v, s = fused_pool_logits(x, attn_w, attn_b, sal_w, sal_b,
+                                         interpret=interpret)
+        return logits, v, s
+    # A too large for VMEM residency: saliency kernel + XLA projection
+    v, s = saliency_summary(x, sal_w, sal_b, interpret=interpret)
+    return _project_logits(v, s, attn_w, attn_b), v, s
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def attentional_pool_fused(x, attn_w, attn_b, sal_w, sal_b,
                            interpret=False):
@@ -160,13 +287,11 @@ def attentional_pool_fused(x, attn_w, attn_b, sal_w, sal_b,
     ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
     tests — SURVEY.md section 5 sanitizer row).
     """
-    v, s = saliency_summary(x, sal_w, sal_b, interpret=interpret)
-    return _project_logits(v, s, attn_w, attn_b)
+    return _fwd_impl(x, attn_w, attn_b, sal_w, sal_b, interpret)[0]
 
 
 def _fused_fwd(x, attn_w, attn_b, sal_w, sal_b, interpret):
-    v, s = saliency_summary(x, sal_w, sal_b, interpret=interpret)
-    logits = _project_logits(v, s, attn_w, attn_b)
+    logits, v, s = _fwd_impl(x, attn_w, attn_b, sal_w, sal_b, interpret)
     return logits, (x, attn_w, attn_b, sal_w, v, s)
 
 

@@ -226,7 +226,7 @@ def build_model(cfg: config_lib.TrainConfig):
         rank=cfg.rank, num_joints=spec.num_joints,
         use_pallas=cfg.use_pallas,
         dtype=jnp.bfloat16 if cfg.bf16_backbone else jnp.float32,
-        bn_momentum=cfg.bn_momentum)
+        bn_momentum=cfg.bn_momentum, remat_units=cfg.remat_units)
 
 
 def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):

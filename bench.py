@@ -53,6 +53,43 @@ def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
     return batch_size * steps / dt
 
 
+def bench_train(batch_size=128, image_size=224, steps=20):
+    """Full train step (fwd + bwd + clip + SGD + BN stat updates) on the
+    MPII ResNet-101 rank-1 config — the reference's actual workload.
+    HBM-bandwidth-bound on v5e (see ARCHITECTURE.md roofline)."""
+    from attentionalpoolingaction_tpu import train as train_lib
+    from attentionalpoolingaction_tpu.config import TrainConfig
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+    cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_101",
+                      pooling="attention", image_size=image_size,
+                      batch_size=batch_size, learning_rate=1e-3,
+                      grad_clip_norm=10.0, lr_schedule="constant")
+    spec = get_dataset(cfg.dataset)
+    state, _, model, tx = train_lib.create_state(cfg)
+    step_fn = train_lib.make_train_step(model, spec, cfg, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(
+            size=(batch_size, image_size, image_size, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, spec.num_classes, batch_size),
+                             jnp.int32),
+        "transform": jnp.tile(jnp.asarray([1., 1., 0., 0., 0.]),
+                              (batch_size, 1)),
+    }
+    state, m = step_fn(state, batch)
+    float(m["loss/total"])  # D2H sync (see bench_forward)
+    for _ in range(3):
+        state, m = step_fn(state, batch)
+    float(m["loss/total"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step_fn(state, batch)
+    float(m["loss/total"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
 def main():
     platform = jax.devices()[0].platform
     best = 0.0
@@ -67,12 +104,22 @@ def main():
             continue
         if rate > best:
             best, best_bs = rate, bs
+    try:
+        train_rate = bench_train(
+            batch_size=128 if platform != "cpu" else 4)
+    except Exception:
+        train_rate = None
     print(json.dumps({
         "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"
                   f"_224px_bf16_b{best_bs}_{platform}",
         "value": round(best, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / TARGET_IMG_S, 3),
+        # the reference's actual workload (fwd+bwd+SGD, BN updating),
+        # B128 224px bf16 — tracked per round alongside the inference
+        # north-star (VERDICT r1 "What's weak" #1)
+        "train_images_per_sec_per_chip":
+            round(train_rate, 1) if train_rate else None,
     }))
 
 

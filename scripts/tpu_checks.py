@@ -22,34 +22,60 @@ from attentionalpoolingaction_tpu.ops.attn_pool_pallas import (
     attentional_pool_fused)
 
 
-def timeit(fn, x, iters=100, reps=3):
-    """Per-op device time: run ``iters`` sequentially-dependent calls inside
-    one jit (a single dispatch — the axon tunnel's per-call RTT would
-    otherwise dominate the measurement)."""
+def timeit(fn, x, iters=100):
+    """Per-op DEVICE time from the profiler's XLA-module clock.
+
+    Methodology (hard-won — every simpler harness lied here):
+      * host wall-clock per dispatch is useless through the axon tunnel
+        (~30 ms RTT swamps sub-ms ops; round-1's 300-400 us/op numbers
+        were mostly RTT divided by the iteration count);
+      * an optimization_barrier-chained scan gets ELIMINATED whole by XLA
+        (the carry is an identity => measured 1.6 us/iter, i.e. nothing);
+      * so: chain iterations through a 1-element dynamic_update_slice on
+        the loop-carried input (genuinely different input each iteration,
+        ~zero added traffic) and read the module's total device time from
+        a jax.profiler trace — host timing never enters the number.
+    """
+    import glob
+    import shutil
+    import tempfile
+
     @jax.jit
     def run(x):
-        def body(c, _):
-            out = fn(c)
-            # serialize iterations without touching the data (a carry
-            # arithmetic on x would add a full X read+write per iter)
-            c2, _ = jax.lax.optimization_barrier((c, out))
-            return c2, ()
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return c
+        def body(carry, _):
+            xc, acc = carry
+            xc = jax.lax.dynamic_update_slice(
+                xc, (acc[None, None, None] * 1e-6).astype(xc.dtype),
+                (0, 0, 0))
+            out = fn(xc)
+            return (xc, out[0, 0]), ()
+        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None,
+                                   length=iters)
+        return acc
 
-    def sync(out):
-        # one-element D2H fetch: reliable completion sync through the axon
-        # tunnel (block_until_ready can ack early) without shipping the
-        # whole array over the relay
-        return float(out.reshape(-1)[0])
+    float(np.asarray(run(x)))  # compile + warm
+    tmp = tempfile.mkdtemp(prefix="tpu_checks_trace_")
+    jax.profiler.start_trace(tmp)
+    float(np.asarray(run(x)))
+    jax.profiler.stop_trace()
 
-    sync(run(x))  # warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sync(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    pb = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.xplane.pb"))[-1]
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(pb, "rb").read())
+    total_ps = 0
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        emeta = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            for ev in line.events:
+                if "jit_run" in emeta[ev.metadata_id].name:
+                    total_ps += ev.duration_ps
+    shutil.rmtree(tmp, ignore_errors=True)
+    return total_ps / 1e12 / iters
 
 
 def main():
