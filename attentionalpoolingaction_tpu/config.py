@@ -67,6 +67,9 @@ class TrainConfig:
     # mesh
     mesh_shape: Sequence[int] = (1,)
     mesh_axes: Sequence[str] = ("data",)
+    # ZeRO-1: shard optimizer state (momentum) over the data axis; params
+    # replicated, GSPMD all-gathers the update (parallel/mesh.py)
+    zero1: bool = False
     # eval
     eval_batch_size: int = 8
     eval_multicrop: int = 0             # 0 = single central crop

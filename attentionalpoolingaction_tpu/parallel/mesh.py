@@ -60,7 +60,8 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def state_shardings(mesh: Mesh, state, *, model_axis: str | None = None):
+def state_shardings(mesh: Mesh, state, *, model_axis: str | None = None,
+                    zero1_axis: str | None = None):
     """Sharding pytree for a TrainState.
 
     Default: everything replicated (pure data parallel).  With
@@ -70,33 +71,62 @@ def state_shardings(mesh: Mesh, state, *, model_axis: str | None = None):
     per-class logits meet the loss.  ResNet backbone params stay replicated
     (42M params — sharding them buys nothing at this scale).
 
+    With ``zero1_axis`` (ZeRO-1 / optimizer-state sharding — SURVEY.md
+    section 2.3 "optional optimizer-state sharding via pjit if ever
+    needed"): each OPTIMIZER-state leaf (momentum etc.) is partitioned
+    over the axis on its widest evenly-divisible dimension; params and
+    batch stats stay replicated.  GSPMD then computes the update shards
+    locally and all-gathers the parameter delta — the standard ZeRO-1
+    dataflow, expressed entirely through shardings.  At 42M params this
+    saves ~150 MB/device of momentum per extra axis-fold; it exists for
+    inventory completeness and larger future heads, off by default
+    (config.TrainConfig.zero1).
+
     Head param shapes (models/heads.py): attn_w (F, C, P), attn_b (C, P);
     the avg head's logits kernel (F, C) / bias (C,).
     """
     repl = NamedSharding(mesh, P())
-    if model_axis is None:
+    model_size = mesh.shape[model_axis] if model_axis else 1
+    zero_size = mesh.shape[zero1_axis] if zero1_axis else 1
+    if model_size <= 1 and zero_size <= 1:
         return jax.tree.map(lambda _: repl, state)
 
-    axis_size = mesh.shape[model_axis]
-
-    def shard_dim(leaf, dim, spec):
+    def shard_dim(leaf, dim, spec, axis_size):
         # GSPMD in_shardings require even splits; replicate otherwise
         if leaf.shape[dim] % axis_size == 0:
             return NamedSharding(mesh, spec)
         return repl
 
+    def zero1_sharding(leaf):
+        if getattr(leaf, "ndim", 0) == 0:
+            return repl
+        # widest dimension the axis divides evenly (conv kernels: the
+        # output-channel dim; biases/BN: the only dim)
+        cands = [d for d in range(leaf.ndim)
+                 if leaf.shape[d] % zero_size == 0]
+        if not cands:
+            return repl
+        dim = max(cands, key=lambda d: leaf.shape[d])
+        spec = [None] * leaf.ndim
+        spec[dim] = zero1_axis
+        return NamedSharding(mesh, P(*spec))
+
     def leaf_sharding(path, leaf):
-        keys = [p.key for p in path if hasattr(p, "key")]
-        if "head" in keys:
+        keys = [getattr(p, "key", None) for p in path]
+        if model_size > 1 and "head" in keys:
             name = keys[-1]
             if name == "attn_w" and leaf.ndim == 3:     # (F, C, P)
-                return shard_dim(leaf, 1, P(None, model_axis, None))
+                return shard_dim(leaf, 1, P(None, model_axis, None),
+                                 model_size)
             if name == "attn_b" and leaf.ndim == 2:     # (C, P)
-                return shard_dim(leaf, 0, P(model_axis, None))
+                return shard_dim(leaf, 0, P(model_axis, None), model_size)
             if name == "kernel" and leaf.ndim == 2:     # avg head (F, C)
-                return shard_dim(leaf, 1, P(None, model_axis))
+                return shard_dim(leaf, 1, P(None, model_axis), model_size)
             if name == "bias" and leaf.ndim == 1:       # avg head (C,)
-                return shard_dim(leaf, 0, P(model_axis))
+                return shard_dim(leaf, 0, P(model_axis), model_size)
+        if zero_size > 1 and path and getattr(
+                path[0], "name", None) == "opt_state":
+            return zero1_sharding(leaf)
         return repl
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, state)

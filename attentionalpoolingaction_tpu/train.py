@@ -255,8 +255,9 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
     model_axis = mesh_lib.model_axis_of(mesh)
 
     def jit_with_state(state_example):
-        st_sh = mesh_lib.state_shardings(mesh, state_example,
-                                         model_axis=model_axis)
+        st_sh = mesh_lib.state_shardings(
+            mesh, state_example, model_axis=model_axis,
+            zero1_axis="data" if cfg.zero1 else None)
         data = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         return jax.jit(
@@ -298,7 +299,8 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
         from attentionalpoolingaction_tpu import checkpoint as ckpt
         if mesh is not None:
             shardings = mesh_lib.state_shardings(
-                mesh, state, model_axis=mesh_lib.model_axis_of(mesh))
+                mesh, state, model_axis=mesh_lib.model_axis_of(mesh),
+                zero1_axis="data" if cfg.zero1 else None)
             abstract = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
                                                   sharding=s),
