@@ -24,6 +24,25 @@ from attentionalpoolingaction_tpu.train import build_model, normalize_images
 log = logging.getLogger(__name__)
 
 
+def mesh_from_config(cfg: config_lib.TrainConfig):
+    """Build the eval mesh from the config, mirroring train(): non-trivial
+    ``mesh_shape`` + enough devices + an evenly-shardable eval batch =>
+    the eval forward shards over the ``data`` axis (BASELINE.json config
+    #5 "multi-crop eval on TPU mesh").  Returns None (single device)
+    otherwise."""
+    import math
+
+    from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
+
+    n = math.prod(cfg.mesh_shape)
+    if n <= 1 or len(jax.devices()) < n:
+        return None
+    data_size = dict(zip(cfg.mesh_axes, cfg.mesh_shape)).get("data", 1)
+    if data_size <= 1 or cfg.eval_batch_size % data_size:
+        return None
+    return mesh_lib.make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+
+
 def make_eval_step(model, mesh=None):
     def step_fn(params, batch_stats, images):
         out = model.apply(
@@ -96,6 +115,8 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
     spec = get_dataset(cfg.dataset)
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
     if step_fn is None:
+        if mesh is None:
+            mesh = mesh_from_config(cfg)
         model = build_model(cfg)
         step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
                    else make_eval_step(model, mesh))
@@ -169,7 +190,8 @@ class Evaluator:
 
     def __init__(self, cfg: config_lib.TrainConfig, mesh=None):
         self.cfg = cfg
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
+        mesh = self.mesh
         model = build_model(cfg)
         multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
         self.step_fn = (make_multicrop_eval_step(model, mesh) if multicrop

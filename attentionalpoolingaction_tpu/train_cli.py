@@ -40,6 +40,11 @@ flags.DEFINE_string("jax_platform", None,
 flags.DEFINE_bool("multiprocess", False,
                   "initialize the JAX multi-host runtime "
                   "(jax.distributed.initialize)")
+flags.DEFINE_integer("trace_at_step", 0,
+                     "capture a device profile starting at this step "
+                     "(0 = off); written to <workdir>/trace for "
+                     "TensorBoard's profile tab / Perfetto")
+flags.DEFINE_integer("trace_steps", 3, "steps per profile capture")
 
 
 def main(argv):
@@ -79,6 +84,12 @@ def main(argv):
                 logging.info("eval@%d: %s", step, results)
 
         hooks.append(eval_hook)
+    if FLAGS.trace_at_step:
+        from attentionalpoolingaction_tpu.utils import profiling
+
+        hooks.append(profiling.make_trace_hook(
+            cfg.workdir + "/trace", FLAGS.trace_at_step,
+            FLAGS.trace_steps))
     state, _ = train_lib.train(
         cfg, num_steps=FLAGS.num_steps, checkpoint_manager=mgr, hooks=hooks)
     mgr.wait_until_finished()

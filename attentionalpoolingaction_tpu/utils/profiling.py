@@ -22,6 +22,29 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def make_trace_hook(logdir: str, start_step: int, num_steps: int = 3):
+    """Train-loop hook (train_cli --trace_at_step): capture a device
+    profile of ``num_steps`` steps once the loop reaches ``start_step``.
+    The capture brackets real steps of the live run — input pipeline,
+    H2D, and the fused step all appear in the timeline."""
+    state = {"on": False, "done": False}
+
+    def hook(step, train_state, metrics):
+        del train_state, metrics
+        if state["done"]:
+            return
+        if not state["on"] and step >= start_step:
+            jax.profiler.start_trace(logdir)
+            state["on"] = True
+            state["stop_at"] = step + num_steps
+        elif state["on"] and step >= state["stop_at"]:
+            jax.profiler.stop_trace()
+            state["on"] = False
+            state["done"] = True
+
+    return hook
+
+
 def start_server(port: int = 9999):
     """Live profiler endpoint for `tensorboard --logdir` capture."""
     return jax.profiler.start_server(port)

@@ -25,6 +25,21 @@ def test_timed_callable():
     assert dt > 0
 
 
+def test_trace_hook(tmp_path):
+    """train_cli --trace_at_step: captures exactly one window and writes
+    the profile next to the workdir."""
+    import jax
+
+    hook = profiling.make_trace_hook(str(tmp_path), start_step=3,
+                                     num_steps=2)
+    for step in range(1, 8):
+        jax.jit(lambda x: x * 2)(jnp.ones((4,))).block_until_ready()
+        hook(step, None, None)
+    assert any(tmp_path.rglob("*.xplane.pb")), "no profile written"
+    # idempotent after the capture window (no second start_trace crash)
+    hook(9, None, None)
+
+
 def test_trace_writes(tmp_path):
     import jax
 

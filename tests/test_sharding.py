@@ -231,6 +231,38 @@ def test_resume_under_2d_mesh_tp(rng, tmp_path):
     assert worst < 1e-5
 
 
+def test_evaluate_builds_mesh_from_config(rng, tmp_path):
+    """evaluate()/Evaluator shard the eval forward over the config mesh
+    (BASELINE.json config #5's 'multi-crop eval on TPU mesh' is reachable
+    from the CLIs, not only when a mesh is passed programmatically)."""
+    from jax.sharding import PartitionSpec as P
+
+    from attentionalpoolingaction_tpu.data import records
+
+    cfg = cfg8(batch_size=8, eval_batch_size=16, mesh_shape=(8,),
+               eval_pattern=str(tmp_path / "val.tfrecord"))
+    spec = get_dataset(cfg.dataset)
+    records.write_synthetic_dataset(cfg.eval_pattern, spec, 20,
+                                    image_size=80, seed=4)
+    state, _, _, _ = train_lib.create_state(cfg)
+
+    mesh = eval_lib.mesh_from_config(cfg)
+    assert mesh is not None and mesh.shape == {"data": 8}
+    # odd eval batch -> no mesh (padding guard)
+    import dataclasses
+    assert eval_lib.mesh_from_config(
+        dataclasses.replace(cfg, eval_batch_size=6)) is None
+
+    evaluator = eval_lib.Evaluator(cfg)
+    assert evaluator.mesh is not None
+    res_mesh = evaluator(state)
+    res_single = eval_lib.evaluate(
+        dataclasses.replace(cfg, mesh_shape=(1,)), state)
+    assert res_mesh["num_examples"] == res_single["num_examples"] == 20
+    np.testing.assert_allclose(res_mesh["mAP"], res_single["mAP"],
+                               rtol=1e-6)
+
+
 def test_grain_state_files_per_process_and_gc(rng, tmp_path):
     """Grain iterator state is per-process (grain_iter_<step>_p<i>.json)
     and files for Orbax-pruned steps are garbage-collected."""
