@@ -60,6 +60,7 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 100
     checkpoint_every: int = 1000
+    max_checkpoints: int = 3            # Orbax max_to_keep
     workdir: str = "/tmp/attnpool_run"
     # fine-tune init: a TF-slim .ckpt path (converted on the fly) or an
     # Orbax CheckpointManager dir from a previous run (warm start)
@@ -115,6 +116,10 @@ PRESETS: dict[str, TrainConfig] = {
 
 
 def get_config(name: str, **overrides) -> TrainConfig:
+    if name not in PRESETS:
+        raise ValueError(
+            f"unknown config preset {name!r}; available: "
+            f"{sorted(PRESETS)}")
     cfg = dataclasses.replace(PRESETS[name], **overrides)
     return cfg
 

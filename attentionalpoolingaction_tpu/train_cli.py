@@ -66,7 +66,8 @@ def main(argv):
     cfg = config_lib.get_config(FLAGS.config, **overrides)
     logging.info("config: %s", cfg)
 
-    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints",
+                                max_to_keep=cfg.max_checkpoints)
     writer = metrics_writer.make_writer(cfg.workdir)
     hooks = [metrics_writer.make_train_hook(writer, cfg.log_every)]
     if FLAGS.eval_every and cfg.eval_pattern:
