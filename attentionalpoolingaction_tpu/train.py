@@ -337,6 +337,11 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 video_sampling=spec.is_video and cfg.video_frame_sampling)
             stateful_iter = train_iter
         else:
+            if spec.is_video and cfg.video_frame_sampling:
+                log.warning(
+                    "per-epoch video frame sampling requires "
+                    "input_pipeline='grain'; the tf.data pipeline "
+                    "iterates the pre-extracted frames directly")
             train_iter = pipeline.make_train_iterator(
                 cfg.train_pattern, spec, batch_size=host_batch,
                 image_size=cfg.image_size,
