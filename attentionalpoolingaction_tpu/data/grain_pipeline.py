@@ -172,6 +172,34 @@ def make_eval_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
     return ds
 
 
+def make_multicrop_eval_dataset(pattern, spec: DatasetSpec, *,
+                                batch_size: int, image_size: int,
+                                resize_min: int, num_crops: int = 3,
+                                pad_to_batch: bool = True):
+    """Grain mirror of pipeline.make_multicrop_eval_iterator: each example
+    becomes (num_crops, H, W, 3); crops average in the eval step (and
+    shard across the mesh — evaluate.make_multicrop_eval_step)."""
+    import grain
+
+    src = TFRecordDataSource(pattern)
+    ds = grain.MapDataset.source(src).seed(0)
+
+    def to_features(raw):
+        parsed = parse_example(raw, spec,
+                               include_anno=spec.multi_label)
+        crops = ppnp.eval_multicrop_np(
+            parsed.pop("image_bytes"), out_size=image_size,
+            resize_min=resize_min, num_crops=num_crops)
+        return {"image": crops, "mask": np.float32(1.0), **parsed}
+
+    ds = ds.map(to_features)
+    ds = ds.batch(batch_size, drop_remainder=False,
+                  batch_fn=_stack_features)
+    if pad_to_batch:
+        ds = ds.map(lambda b: _pad_batch(b, batch_size))
+    return ds
+
+
 def _stack_features(elems):
     out = {}
     for k in elems[0]:

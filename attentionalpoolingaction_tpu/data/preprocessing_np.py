@@ -67,3 +67,30 @@ def preprocess_image_np(image_bytes: bytes, *, out_size: int,
     transform = np.array(
         [scale_y, scale_x, float(oy), float(ox), float(flip)], np.float32)
     return np.ascontiguousarray(img), transform
+
+
+def eval_multicrop_np(image_bytes: bytes, *, out_size: int,
+                      resize_min: int, num_crops: int = 3) -> np.ndarray:
+    """NumPy mirror of preprocessing.eval_multicrop_tf (identical
+    geometry: smaller side to ``resize_min``, ``num_crops`` crops spaced
+    diagonally along the longer axes).  Returns (num_crops, out, out, 3)
+    f32, mean-subtracted."""
+    import cv2
+
+    img = decode_jpeg(image_bytes).astype(np.float32)
+    h, w = img.shape[:2]
+    scale = resize_min / min(h, w)
+    new_h = int(round(h * scale))
+    new_w = int(round(w * scale))
+    img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    img = img - np.array([R_MEAN, G_MEAN, B_MEAN], np.float32)
+
+    max_oy = max(new_h - out_size, 0)
+    max_ox = max(new_w - out_size, 0)
+    crops = []
+    for i in range(num_crops):
+        frac = i / max(num_crops - 1, 1)
+        oy = int(round(max_oy * frac))
+        ox = int(round(max_ox * frac))
+        crops.append(img[oy:oy + out_size, ox:ox + out_size])
+    return np.ascontiguousarray(np.stack(crops))

@@ -79,25 +79,31 @@ def make_multicrop_eval_step(model, mesh=None):
 
 
 def make_eval_input(cfg: config_lib.TrainConfig, spec):
-    """Build the eval input iterator per ``cfg.input_pipeline``.  Multi-crop
-    eval always uses tf.data (the Grain path has no multi-crop transform);
-    single-crop eval honors ``input_pipeline="grain"`` like training does."""
+    """Build the eval input iterator per ``cfg.input_pipeline`` (both the
+    tf.data and Grain paths support single- and multi-crop eval)."""
     from attentionalpoolingaction_tpu.data import pipeline
 
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    if cfg.input_pipeline == "grain":
+        from attentionalpoolingaction_tpu.data import grain_pipeline
+        if multicrop:
+            ds = grain_pipeline.make_multicrop_eval_dataset(
+                cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+                image_size=cfg.image_size,
+                resize_min=cfg.resize_min_resolved,
+                num_crops=cfg.eval_multicrop)
+        else:
+            ds = grain_pipeline.make_eval_dataset(
+                cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+                image_size=cfg.image_size,
+                resize_min=cfg.resize_min_resolved)
+        return iter(ds)
     if multicrop:
         return pipeline.make_multicrop_eval_iterator(
             cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
             image_size=cfg.image_size,
             resize_min=cfg.resize_min_resolved,
             num_crops=cfg.eval_multicrop)
-    if cfg.input_pipeline == "grain":
-        from attentionalpoolingaction_tpu.data import grain_pipeline
-        ds = grain_pipeline.make_eval_dataset(
-            cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
-            image_size=cfg.image_size,
-            resize_min=cfg.resize_min_resolved)
-        return iter(ds)
     return pipeline.make_eval_iterator(
         cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
         image_size=cfg.image_size,

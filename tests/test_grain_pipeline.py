@@ -193,6 +193,35 @@ def test_video_sampling_sharding(hmdb_records):
     assert seen[0] | seen[1] == {0, 1, 2, 3}
 
 
+def test_grain_multicrop_eval(mpii_records):
+    """Grain multi-crop eval: crop geometry matches the tf.data path and
+    the padded/masked batch contract holds."""
+    import tensorflow as tf
+
+    from attentionalpoolingaction_tpu.data import grain_pipeline as gp
+    from attentionalpoolingaction_tpu.data import preprocessing as pp
+    from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
+
+    path, spec = mpii_records
+    ds = gp.make_multicrop_eval_dataset(path, spec, batch_size=4,
+                                        image_size=32, resize_min=40,
+                                        num_crops=3)
+    batches = list(ds)
+    assert len(batches) == 3  # 10 -> 4,4,2(padded)
+    assert batches[0]["image"].shape == (4, 3, 32, 32, 3)
+    np.testing.assert_array_equal(batches[-1]["mask"], [1, 1, 0, 0])
+
+    raw = next(rec.read_tfrecord(path))
+    jpeg = tf.train.Example.FromString(raw).features.feature[
+        "image/encoded"].bytes_list.value[0]
+    want = pp.eval_multicrop_tf(tf.constant(jpeg), out_size=32,
+                                resize_min=40, num_crops=3).numpy()
+    got = ppnp.eval_multicrop_np(jpeg, out_size=32, resize_min=40,
+                                 num_crops=3)
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 3.0  # resampler tolerance
+
+
 def test_np_tf_preprocessing_equivalence(mpii_records):
     """Eval-mode numpy/cv2 preprocessing must match the TF-ops path in
     geometry exactly and pixel values closely."""
