@@ -50,6 +50,12 @@ class TrainConfig:
     input_pipeline: str = "tfdata"      # tfdata | grain
     grain_workers: int = 0              # grain multiprocess prefetch workers
     transfer_uint8: bool = True         # ship uint8, normalize on device
+    # tfdata only: checkpoint the iterator's exact stream position with the
+    # model (symbolic tf.data checkpoint) so resume continues mid-epoch.
+    # Trades away prefetch_to_device H2D overlap (the saved state must
+    # match the last CONSUMED batch, so batches can't be queued on device);
+    # grain checkpoints its iterator natively without this tradeoff.
+    tfdata_checkpoint: bool = False
     # video datasets (HMDB51) + grain: per-epoch random-frame sampling at
     # the video level (each epoch = one fresh frame per video); False
     # iterates the pre-extracted frames directly

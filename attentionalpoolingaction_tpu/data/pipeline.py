@@ -65,17 +65,75 @@ def _to_features(parsed, spec: DatasetSpec, *, image_size, is_training,
     return out
 
 
+class CheckpointableTfIterator:
+    """tf.data train iterator exposing Grain's ``get_state``/``set_state``
+    protocol, so ``train()`` checkpoints the exact stream position beside
+    the model and a restart resumes mid-epoch (SURVEY.md section 5
+    checkpoint/resume row — closes the "tf.data restarts mid-epoch" gap).
+
+    Uses tf.data *symbolic* checkpointing: the state records seeds and
+    input offsets rather than shuffle-buffer/prefetch contents, so it stays
+    a few KB.  The serialized TF checkpoint files are base64-embedded in
+    the returned dict to fit the JSON state-file protocol.
+
+    Scope: the example ORDER (shuffle position, epoch offset) resumes
+    exactly; stateful per-image augmentation RNG (random crop/flip) is not
+    part of symbolic state (TF logs "RandomUniformInt is stateful"), so a
+    resumed run sees the same examples with fresh augmentation draws —
+    the property that matters for loss-curve continuity."""
+
+    def __init__(self, ds):
+        import tensorflow as tf
+
+        self._it = iter(ds)
+        self._ckpt = tf.train.Checkpoint(iterator=self._it)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        el = next(self._it)
+        return {k: v.numpy() for k, v in el.items()}
+
+    def get_state(self) -> dict:
+        import base64
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            self._ckpt.write(os.path.join(d, "it"))
+            files = {}
+            for name in sorted(os.listdir(d)):
+                with open(os.path.join(d, name), "rb") as f:
+                    files[name] = base64.b64encode(f.read()).decode("ascii")
+        return {"tfdata_ckpt": files}
+
+    def set_state(self, state: dict) -> None:
+        import base64
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            for name, b64 in state["tfdata_ckpt"].items():
+                with open(os.path.join(d, name), "wb") as f:
+                    f.write(base64.b64decode(b64))
+            self._ckpt.read(os.path.join(d, "it")).assert_consumed()
+
+
 def make_train_iterator(file_pattern, spec: DatasetSpec, *,
                         batch_size: int, image_size: int,
                         resize_min: int | None = None,
                         resize_max: int | None = None,
                         seed: int = 0,
                         shard_by_process: bool = True,
-                        transfer_uint8: bool = False) -> Iterator[dict]:
+                        transfer_uint8: bool = False,
+                        checkpointable: bool = False) -> Iterator[dict]:
     """Infinite shuffled train iterator of numpy batches (per-host batch).
 
     ``transfer_uint8`` ships images as uint8 (4x less host->device traffic;
-    the jit'd step normalizes on device — train.normalize_images)."""
+    the jit'd step normalizes on device — train.normalize_images).
+    ``checkpointable`` returns a ``CheckpointableTfIterator`` whose stream
+    position can be saved/restored with the model checkpoint."""
     import tensorflow as tf
 
     resize_min = resize_min or image_size
@@ -91,6 +149,10 @@ def make_train_iterator(file_pattern, spec: DatasetSpec, *,
         num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_size, drop_remainder=True)
     ds = ds.prefetch(tf.data.AUTOTUNE)
+    if checkpointable:
+        opts = tf.data.Options()
+        opts.experimental_symbolic_checkpoint = True
+        return CheckpointableTfIterator(ds.with_options(opts))
     return ds.as_numpy_iterator()
 
 

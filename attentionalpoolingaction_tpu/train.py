@@ -347,7 +347,10 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 image_size=cfg.image_size,
                 resize_min=cfg.resize_min_resolved,
                 resize_max=cfg.resize_max_resolved, seed=cfg.seed,
-                transfer_uint8=cfg.transfer_uint8)
+                transfer_uint8=cfg.transfer_uint8,
+                checkpointable=cfg.tfdata_checkpoint)
+            if cfg.tfdata_checkpoint:
+                stateful_iter = train_iter
     elif hasattr(train_iter, "get_state"):
         stateful_iter = train_iter
 

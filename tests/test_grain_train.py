@@ -41,3 +41,26 @@ def test_grain_train_and_iterator_resume(tmp_path):
     mgr.wait_until_finished()
     assert int(state2.step) == 4
     assert train_lib._grain_state_path(mgr, 4, 0).exists()
+
+
+def test_tfdata_checkpoint_train_and_resume(tmp_path):
+    """tfdata_checkpoint=True: the tf.data stream position is saved beside
+    the model checkpoint and a restart resumes mid-epoch (the same
+    state-file protocol the Grain path uses)."""
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(path, spec, 12, image_size=80)
+
+    cfg = grain_cfg(path, input_pipeline="tfdata", tfdata_checkpoint=True)
+    mgr = ckpt_lib.make_manager(tmp_path / "ck")
+    state, hist = train_lib.train(cfg, num_steps=2, checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert int(state.step) == 2
+    assert np.isfinite(hist[-1]["loss/total"])
+    assert train_lib._grain_state_path(mgr, 2, 0).exists()
+
+    state2, hist2 = train_lib.train(cfg, num_steps=4,
+                                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert int(state2.step) == 4
+    assert train_lib._grain_state_path(mgr, 4, 0).exists()

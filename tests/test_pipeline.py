@@ -107,3 +107,30 @@ def test_train_iterator_uint8_transfer(tmp_path):
     # only difference: rounding the bilinear resample to integers
     assert np.abs(normed - b_f32["image"]).max() <= 0.5 + 1e-4
     np.testing.assert_allclose(b_u8["transform"], b_f32["transform"])
+
+
+def test_checkpointable_train_iterator_resumes_exactly(tmp_path):
+    """tf.data exact mid-epoch resume: state after N batches replays the
+    same stream (symbolic checkpoint; JSON-file protocol roundtrip)."""
+    import json
+
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "c.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 12, image_size=80)
+
+    def make():
+        return pipeline.make_train_iterator(
+            path, spec, batch_size=4, image_size=64, resize_min=72,
+            resize_max=90, seed=3, shard_by_process=False,
+            checkpointable=True)
+
+    it = make()
+    for _ in range(3):
+        next(it)
+    state = json.loads(json.dumps(it.get_state()))  # the on-disk protocol
+    want = np.stack([next(it)["label"] for _ in range(3)])
+
+    it2 = make()
+    it2.set_state(state)
+    got = np.stack([next(it2)["label"] for _ in range(3)])
+    np.testing.assert_array_equal(want, got)
