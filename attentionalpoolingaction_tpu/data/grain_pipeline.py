@@ -93,20 +93,64 @@ def make_train_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
     return ds
 
 
+def _record_video_ids(read_record, n: int) -> list[int]:
+    """video/id of each of ``n`` records (full proto parse — used once per
+    file, then cached in the .vidx sidecar)."""
+    import tensorflow as tf
+
+    return [
+        int(tf.train.Example.FromString(read_record(i))
+            .features.feature["video/id"].int64_list.value[0])
+        for i in range(n)
+    ]
+
+
+def _file_video_ids(f) -> list[int]:
+    """Per-record video ids of one indexed TFRecord file, cached in a
+    ``<file>.vidx.json`` sidecar keyed by (size, mtime) — so training
+    start and crash-resume don't re-parse every frame's multi-KB JPEG
+    proto just to read an int (HMDB at 25 frames/video is ~GBs)."""
+    import json
+    import os
+    import pathlib
+
+    sidecar = pathlib.Path(f.tfrecord_path + ".vidx.json")
+    st = os.stat(f.tfrecord_path)
+    key = [int(st.st_size), int(st.st_mtime)]
+    if sidecar.exists():
+        try:
+            cached = json.loads(sidecar.read_text())
+            if cached.get("key") == key:
+                return cached["video_ids"]
+        except (ValueError, KeyError, OSError):
+            pass
+    ids = _record_video_ids(lambda i: f[i], len(f))
+    try:
+        sidecar.write_text(json.dumps({"key": key, "video_ids": ids}))
+    except OSError:
+        pass  # read-only dataset dir: rebuild in memory each start
+    return ids
+
+
 def build_video_index(src, spec: DatasetSpec) -> dict[int, list[int]]:
-    """Group record indices by video id (one scan over the source).
+    """Group record indices by video id (one scan over the source,
+    sidecar-cached per file).
 
     HMDB records are per-frame (convert_hmdb stores up to frames_per_video
     frames per video); training-time temporal sampling draws a random
     frame per video per epoch, so the index must know which records belong
     to which video (SURVEY.md section 1 L2 "HMDB adds frame sampling")."""
-    import tensorflow as tf
-
+    del spec  # schema is fixed: video/id int64
     by_vid: dict[int, list[int]] = {}
-    for i in range(len(src)):
-        ex = tf.train.Example.FromString(src[i])
-        vid = int(ex.features.feature["video/id"].int64_list.value[0])
-        by_vid.setdefault(vid, []).append(i)
+    i = 0
+    for f in getattr(src, "files", None) or []:
+        for vid in _file_video_ids(f):
+            by_vid.setdefault(vid, []).append(i)
+            i += 1
+    if i == 0:  # non-indexed source: direct scan
+        for vid in _record_video_ids(lambda j: src[j], len(src)):
+            by_vid.setdefault(vid, []).append(i)
+            i += 1
     return by_vid
 
 

@@ -156,6 +156,12 @@ class TFRecordDataSource:
             total += len(f)
         self._total = total
 
+    @property
+    def files(self):
+        """The underlying IndexedTFRecordFiles (for per-file sidecar
+        metadata like the video index cache)."""
+        return list(self._files)
+
     def __len__(self) -> int:
         return self._total
 

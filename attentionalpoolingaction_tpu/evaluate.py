@@ -34,13 +34,25 @@ def mesh_from_config(cfg: config_lib.TrainConfig):
 
     from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
 
+    # Eval stays HOST-LOCAL: evaluate() fetches the sharded logits to
+    # numpy, which requires every shard addressable from this process.
+    # Multi-process runs (train_cli --eval_every on multi-host) therefore
+    # build the eval mesh from local devices only — each host evaluates
+    # the (unsharded-by-process) split redundantly, as without a mesh —
+    # while train uses the global mesh.
+    local = jax.local_devices()
     n = math.prod(cfg.mesh_shape)
-    if n <= 1 or len(jax.devices()) < n:
+    if jax.process_count() > 1:
+        n = min(n, len(local))
+        shape, axes = (n,), ("data",)
+    else:
+        shape, axes = cfg.mesh_shape, cfg.mesh_axes
+    if n <= 1 or len(local) < n:
         return None
-    data_size = dict(zip(cfg.mesh_axes, cfg.mesh_shape)).get("data", 1)
+    data_size = dict(zip(axes, shape)).get("data", 1)
     if data_size <= 1 or cfg.eval_batch_size % data_size:
         return None
-    return mesh_lib.make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    return mesh_lib.make_mesh(shape, axes, devices=local[:n])
 
 
 def make_eval_step(model, mesh=None):

@@ -23,10 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape: Sequence[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """Build a mesh over all visible devices.  ``shape=None`` puts every
-    device on the first axis."""
-    devices = jax.devices()
+              axis_names: Sequence[str] = ("data",),
+              devices: Sequence = None) -> Mesh:
+    """Build a mesh over all visible devices (or an explicit ``devices``
+    list, e.g. ``jax.local_devices()`` for a host-local mesh).
+    ``shape=None`` puts every device on the first axis."""
+    devices = list(devices) if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     n = int(np.prod(shape))
@@ -55,9 +57,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host-global numpy batch onto the mesh, batch-dim sharded."""
+    """Place a host numpy batch onto the mesh, batch-dim sharded.
+
+    Single-process: the batch IS the global batch — a plain sharded
+    device_put.  Multi-process: the batch is this host's 1/process_count
+    share, and the global array is assembled from per-process local
+    shards (the mesh spans non-addressable devices, where device_put of
+    host data is invalid — the standard JAX multi-host recipe)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_batches(iterator, mesh: Mesh, axis: str = "data"):
+    """shard_batch applied to a stream — train() uses this for stateful
+    (checkpointable) iterators, which bypass prefetch_to_device so their
+    saved state matches the last CONSUMED batch."""
+    for batch in iterator:
+        yield shard_batch(batch, mesh, axis)
 
 
 def state_shardings(mesh: Mesh, state, *, model_axis: str | None = None,

@@ -229,6 +229,17 @@ def build_model(cfg: config_lib.TrainConfig):
         bn_momentum=cfg.bn_momentum, remat_units=cfg.remat_units)
 
 
+def _train_state_shardings(cfg, mesh, state_example):
+    """The ONE place the train state's mesh shardings are derived (TP head
+    over "model", optional ZeRO-1 over "data") — used both by the train
+    step's in/out_shardings and by checkpoint restore, which must land
+    state in exactly the layout the step consumes (no silent first-step
+    reshard)."""
+    return mesh_lib.state_shardings(
+        mesh, state_example, model_axis=mesh_lib.model_axis_of(mesh),
+        zero1_axis="data" if cfg.zero1 else None)
+
+
 def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
     """Build the jit'd train step.  With a mesh, batch args are sharded over
     the ``data`` axis and state is replicated; XLA inserts the gradient
@@ -250,14 +261,8 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    # TP: shard the pooling head's class dim over a "model" mesh axis when
-    # present (SURVEY.md section 2.3); otherwise replicate all state.
-    model_axis = mesh_lib.model_axis_of(mesh)
-
     def jit_with_state(state_example):
-        st_sh = mesh_lib.state_shardings(
-            mesh, state_example, model_axis=model_axis,
-            zero1_axis="data" if cfg.zero1 else None)
+        st_sh = _train_state_shardings(cfg, mesh, state_example)
         data = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         return jax.jit(
@@ -298,9 +303,7 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
         # single-device copy, and the resharding is explicit.
         from attentionalpoolingaction_tpu import checkpoint as ckpt
         if mesh is not None:
-            shardings = mesh_lib.state_shardings(
-                mesh, state, model_axis=mesh_lib.model_axis_of(mesh),
-                zero1_axis="data" if cfg.zero1 else None)
+            shardings = _train_state_shardings(cfg, mesh, state)
             abstract = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
                                                   sharding=s),
@@ -381,6 +384,14 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 train_iter, sharding=mesh_lib.batch_sharding(mesh))
         else:
             train_iter = pipeline.prefetch_to_device(train_iter)
+    elif mesh is not None:
+        # Stateful iterators skip prefetch_to_device, so assemble each
+        # host-local batch onto the mesh at consumption time.  This is
+        # REQUIRED multi-process: a raw per-host numpy batch fed to a jit
+        # whose in_shardings span the global mesh would be treated as the
+        # (same) global value on every process — silently halving the
+        # batch and discarding half of each host's pipeline output.
+        train_iter = mesh_lib.shard_batches(train_iter, mesh)
 
     num_steps = num_steps or cfg.num_steps
     history = []

@@ -90,7 +90,8 @@ def main(argv):
 
         hooks.append(profiling.make_trace_hook(
             cfg.workdir + "/trace", FLAGS.trace_at_step,
-            FLAGS.trace_steps))
+            FLAGS.trace_steps,
+            last_step=FLAGS.num_steps or cfg.num_steps))
     state, _ = train_lib.train(
         cfg, num_steps=FLAGS.num_steps, checkpoint_manager=mgr, hooks=hooks)
     mgr.wait_until_finished()

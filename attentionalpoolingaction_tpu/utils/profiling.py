@@ -22,12 +22,29 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def make_trace_hook(logdir: str, start_step: int, num_steps: int = 3):
+def make_trace_hook(logdir: str, start_step: int, num_steps: int = 3,
+                    last_step: int | None = None):
     """Train-loop hook (train_cli --trace_at_step): capture a device
     profile of ``num_steps`` steps once the loop reaches ``start_step``.
     The capture brackets real steps of the live run — input pipeline,
-    H2D, and the fused step all appear in the timeline."""
+    H2D, and the fused step all appear in the timeline.
+
+    ``last_step``: the run's final step (train_cli passes the resolved
+    num_steps) — the trace is stopped there even if fewer than
+    ``num_steps`` were captured, and an atexit fallback flushes a trace
+    left open by any other early loop exit (the profile is only written
+    on stop)."""
+    import atexit
+
     state = {"on": False, "done": False}
+
+    def _stop():
+        if state["on"]:
+            jax.profiler.stop_trace()
+            state["on"] = False
+            state["done"] = True
+
+    atexit.register(_stop)
 
     def hook(step, train_state, metrics):
         del train_state, metrics
@@ -37,10 +54,9 @@ def make_trace_hook(logdir: str, start_step: int, num_steps: int = 3):
             jax.profiler.start_trace(logdir)
             state["on"] = True
             state["stop_at"] = step + num_steps
-        elif state["on"] and step >= state["stop_at"]:
-            jax.profiler.stop_trace()
-            state["on"] = False
-            state["done"] = True
+        if state["on"] and (step >= state["stop_at"] or
+                            (last_step is not None and step >= last_step)):
+            _stop()
 
     return hook
 

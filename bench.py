@@ -108,6 +108,8 @@ def main():
         train_rate = bench_train(
             batch_size=128 if platform != "cpu" else 4)
     except Exception:
+        import traceback
+        traceback.print_exc()  # keep the JSON line clean, lose nothing
         train_rate = None
     print(json.dumps({
         "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"

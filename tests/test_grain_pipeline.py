@@ -243,3 +243,36 @@ def test_np_tf_preprocessing_equivalence(mpii_records):
     # resampler implementations differ slightly; bound mean abs difference
     diff = np.abs(img_tf.numpy() - img_np)
     assert diff.mean() < 3.0, diff.mean()
+
+
+def test_video_index_sidecar_cache(tmp_path):
+    """The per-file .vidx.json sidecar serves repeat builds (training
+    start / crash-resume) without re-parsing every frame proto, and is
+    invalidated when the record file changes."""
+    import json
+
+    from attentionalpoolingaction_tpu.data import grain_pipeline as gp
+
+    path = str(tmp_path / "t.tfrecord")
+    spec = get_dataset("hmdb51")
+    rec.write_synthetic_dataset(path, spec, 8, image_size=60, seed=0,
+                                frames_per_video=4)
+    src = gp.TFRecordDataSource(path)
+    first = gp.build_video_index(src, spec)
+    sidecar = tmp_path / "t.tfrecord.vidx.json"
+    assert sidecar.exists()
+
+    # cache hit: the sidecar is authoritative (prove it by poisoning it)
+    cached = json.loads(sidecar.read_text())
+    cached["video_ids"] = [9] * 8
+    sidecar.write_text(json.dumps(cached))
+    poisoned = gp.build_video_index(gp.TFRecordDataSource(path), spec)
+    assert sorted(poisoned) == [9]
+
+    # stale key (file rewritten, size differs) -> rebuild from records
+    rec.write_synthetic_dataset(path, spec, 12, image_size=64, seed=1,
+                                frames_per_video=4)
+    (tmp_path / "t.tfrecord.idx").unlink()  # record index is also stale
+    rebuilt = gp.build_video_index(gp.TFRecordDataSource(path), spec)
+    assert sorted(rebuilt) == [0, 1, 2], sorted(rebuilt)
+    assert json.loads(sidecar.read_text())["video_ids"] != [9] * 8

@@ -111,6 +111,28 @@ assert len(states) == 2, states
 vals = sorted(json.loads(s.read_text())["who"] for s in states)
 assert vals == [0, 1], vals
 
+# --- stateful-iterator consumption path: mesh_lib.shard_batches must
+# assemble BOTH hosts' (distinct) data into the global batch ---
+sharded_iter = mesh_lib.shard_batches(gen(), mesh)
+sb = next(sharded_iter)["x"]
+assert sb.shape == (4, 4), sb.shape
+assert float(total(sb)) == 24.0  # 8*1 (host0) + 8*2 (host1)
+
+# --- eval mesh stays host-local on multi-process (fetching sharded
+# logits to numpy requires every shard addressable) ---
+from attentionalpoolingaction_tpu import evaluate as eval_lib
+from attentionalpoolingaction_tpu.config import TrainConfig
+
+cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                  pooling="attention", image_size=32, batch_size=4,
+                  bf16_backbone=False, learning_rate=1e-3,
+                  grad_clip_norm=10.0, lr_schedule="constant",
+                  mesh_shape=(2,), eval_batch_size=2)
+m = eval_lib.mesh_from_config(cfg)
+# 1 local device -> no useful local mesh: must be None, NOT a mesh over
+# the 2-process global devices (which would crash the numpy fetch)
+assert m is None, m
+
 print(f"WORKER{proc_id} OK")
 """
 

@@ -47,3 +47,16 @@ def test_trace_writes(tmp_path):
         jax.jit(lambda x: x + 1)(jnp.ones((8,))).block_until_ready()
     # jax profiler writes a plugins/profile dir
     assert any(tmp_path.rglob("*")), "no trace output written"
+
+
+def test_trace_hook_stops_at_last_step(tmp_path):
+    """A run ending before the capture window completes still writes the
+    profile (stop fires at last_step instead of losing the capture)."""
+    import jax
+
+    hook = profiling.make_trace_hook(str(tmp_path), start_step=4,
+                                     num_steps=10, last_step=5)
+    for step in range(1, 6):  # loop ends at step 5 < 4+10
+        jax.jit(lambda x: x + 1)(jnp.ones((4,))).block_until_ready()
+        hook(step, None, None)
+    assert any(tmp_path.rglob("*.xplane.pb")), "early-exit capture lost"
