@@ -9,6 +9,8 @@ the mesh ``data`` axis), donated state buffers, Orbax checkpoints.
 from __future__ import annotations
 
 import logging
+import signal
+import threading
 import time
 from typing import Any
 
@@ -284,9 +286,13 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
 
 
 def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
-          checkpoint_manager=None, hooks=()):
+          checkpoint_manager=None, hooks=(), stop_event=None):
     """Run the training loop.  ``train_iter`` yields numpy batches (built
-    from data.pipeline when not injected — tests inject synthetic ones)."""
+    from data.pipeline when not injected — tests inject synthetic ones).
+
+    ``stop_event`` (threading.Event, optional): when set — by a caller or
+    by the installed SIGTERM handler — the loop checkpoints after the
+    current step and returns cleanly (preemption-safe shutdown)."""
     from attentionalpoolingaction_tpu.data import pipeline
 
     state, spec, model, tx = create_state(cfg)
@@ -393,32 +399,63 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
         # batch and discarding half of each host's pipeline output.
         train_iter = mesh_lib.shard_batches(train_iter, mesh)
 
+    def save_checkpoint(at_step: int):
+        from attentionalpoolingaction_tpu import checkpoint as ckpt
+        ckpt.save(checkpoint_manager, state)
+        if stateful_iter is not None:
+            import json
+            _grain_state_path(
+                checkpoint_manager, at_step, jax.process_index()
+            ).write_text(json.dumps(stateful_iter.get_state()))
+            _gc_grain_state(checkpoint_manager, keep_step=at_step)
+
+    # Preemption-safe shutdown (SURVEY.md section 5 "Failure detection"
+    # row): pod preemptions/maintenance arrive as SIGTERM.  The handler
+    # only sets a flag; the loop finishes the in-flight step, saves a
+    # checkpoint (+ iterator state) and returns cleanly, so the restart
+    # resumes from the preemption point instead of the last periodic save.
+    if stop_event is None:
+        stop_event = threading.Event()
+    prev_handler = None
+    if checkpoint_manager is not None:
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda sig, frame: stop_event.set())
+        except ValueError:
+            pass  # not the main thread: rely on the caller's stop_event
+
     num_steps = num_steps or cfg.num_steps
     history = []
     t0 = time.time()
     start_step = int(state.step)
     step = start_step
-    for _ in range(max(num_steps - start_step, 0)):
-        batch = next(train_iter)
-        state, metrics = step_fn(state, batch)
-        step += 1
-        if step % cfg.log_every == 0 or step == num_steps:
-            metrics = {k: float(v) for k, v in metrics.items()}
-            dt = time.time() - t0
-            log.info("step %d %s (%.2f s)", step, metrics, dt)
-            history.append({"step": step, **metrics})
-        if checkpoint_manager is not None and (
-                step % cfg.checkpoint_every == 0 or step == num_steps):
-            from attentionalpoolingaction_tpu import checkpoint as ckpt
-            ckpt.save(checkpoint_manager, state)
-            if stateful_iter is not None:
-                import json
-                _grain_state_path(
-                    checkpoint_manager, step, jax.process_index()
-                ).write_text(json.dumps(stateful_iter.get_state()))
-                _gc_grain_state(checkpoint_manager, keep_step=step)
-        for hook in hooks:
-            hook(step, state, metrics)
+    try:
+        for _ in range(max(num_steps - start_step, 0)):
+            batch = next(train_iter)
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if step % cfg.log_every == 0 or step == num_steps:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                log.info("step %d %s (%.2f s)", step, metrics, dt)
+                history.append({"step": step, **metrics})
+            for hook in hooks:
+                hook(step, state, metrics)
+            # read the stop flag AFTER hooks so a stop raised during this
+            # step (signal or hook) checkpoints THIS step, not the next
+            stopping = stop_event.is_set()
+            if checkpoint_manager is not None and (
+                    step % cfg.checkpoint_every == 0 or step == num_steps
+                    or stopping):
+                save_checkpoint(step)
+            if stopping:
+                log.warning(
+                    "stop requested (SIGTERM/preemption): checkpointed at "
+                    "step %d and exiting cleanly", step)
+                break
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
     return state, history
 
 

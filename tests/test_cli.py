@@ -55,3 +55,41 @@ def test_train_then_eval_cli(tmp_path):
     assert "mAP" in results and len(results["per_class_ap"]) == 393
     with open(out_json) as f:
         assert json.loads(f.readline())["step"] == 2
+
+
+@pytest.mark.slow
+def test_sigterm_preempts_cleanly(tmp_path):
+    """Pod preemption contract: SIGTERM mid-run -> the loop checkpoints
+    the current step (checkpoint_every is far away), logs, exits 0."""
+    import signal
+    import time
+
+    spec = get_dataset("mpii")
+    train_p = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(train_p, spec, 8, image_size=80)
+    workdir = str(tmp_path / "run")
+
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "attentionalpoolingaction_tpu.train_cli",
+         "--config", "mpii_rank1_224", "--train_pattern", train_p,
+         "--workdir", workdir, "--num_steps", "500",
+         "--set", "checkpoint_every=1000", "--set", "log_every=1", *COMMON],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO,
+                       "JAX_PLATFORMS": "cpu"})
+    lines = []
+    deadline = time.time() + 360
+    for line in p.stdout:
+        lines.append(line)
+        if "step 3 " in line:
+            break
+        assert time.time() < deadline, "".join(lines)[-2000:]
+    p.send_signal(signal.SIGTERM)
+    rest = p.stdout.read()
+    rc = p.wait(timeout=300)
+    out = "".join(lines) + rest
+    assert rc == 0, out[-2000:]
+    assert "exiting cleanly" in out, out[-2000:]
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    steps = [int(n) for n in os.listdir(ckpt_dir) if n.isdigit()]
+    assert steps and max(steps) >= 3, steps

@@ -132,3 +132,31 @@ def test_hico_multilabel_loss(tmp_path):
         shard_by_process=False)
     state, history = train_lib.train(cfg, train_iter=it, num_steps=2)
     assert np.isfinite(history[-1]["loss/total"])
+
+
+def test_preemption_stop_event_checkpoints_and_resumes(mpii_files, tmp_path):
+    """Preemption-safe shutdown: setting stop_event (what the SIGTERM
+    handler does) checkpoints at the CURRENT step — not a checkpoint_every
+    multiple — exits the loop cleanly, and a restart resumes from there."""
+    import threading
+
+    train_p, _ = mpii_files
+    cfg = tiny_cfg(train_pattern=train_p, resize_min=72, resize_max=90,
+                   checkpoint_every=100)
+    mgr = ckpt_lib.make_manager(tmp_path / "ck")
+    stop = threading.Event()
+
+    def preempt_at_3(step, state, metrics):
+        if step == 3:
+            stop.set()
+
+    state, hist = train_lib.train(
+        cfg, num_steps=50, checkpoint_manager=mgr, hooks=(preempt_at_3,),
+        stop_event=stop)
+    mgr.wait_until_finished()
+    assert int(state.step) == 3
+    assert mgr.latest_step() == 3
+
+    state2, _ = train_lib.train(cfg, num_steps=5, checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert int(state2.step) == 5
