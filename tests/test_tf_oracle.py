@@ -78,3 +78,35 @@ def test_oracle_discovers_structure(tmp_path):
     assert {b: len(u) for b, u in blocks.items()} == {1: 3, 2: 4, 3: 6,
                                                       4: 3}
     assert blocks[3] == [1, 2, 3, 4, 5, 6]
+
+
+def test_flax_matches_tf_oracle_pose_variant(tmp_path):
+    """The paper's best model (pose-regularized attention): logits AND
+    pose heatmaps from the shared features match the independent oracle."""
+    from tf_slim_oracle import full_forward_pose
+
+    backbone = "resnet_v1_50"
+    model = ActionModel(num_classes=7, backbone=backbone,
+                        pooling="pose_attention", rank=2)
+    variables = model.init(jax.random.key(4),
+                           jnp.zeros((1, 224, 224, 3)), train=False)
+    warm = jax.random.normal(jax.random.key(5), (2, 224, 224, 3))
+    _, updates = model.apply(variables, warm, train=True,
+                             mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": updates["batch_stats"]}
+    ckpt = str(tmp_path / "oracle" / "model.ckpt")
+    ckpt_lib.export_slim_checkpoint(variables, ckpt, model_scope=backbone)
+
+    images = np.asarray(jax.random.normal(
+        jax.random.key(6), (2, 224, 224, 3)), np.float32)
+    out = model.apply(variables, images)
+    want_logits, want_maps = full_forward_pose(
+        images, ckpt, backbone, variables["params"]["head"],
+        variables["params"]["pose_head"])
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), want_logits, rtol=1e-4,
+        atol=1e-4 * np.abs(want_logits).max())
+    np.testing.assert_allclose(
+        np.asarray(out["pose_heatmaps"]), want_maps, rtol=1e-4,
+        atol=1e-4 * np.abs(want_maps).max())

@@ -142,3 +142,31 @@ def full_forward_logits(images, ckpt_path: str, model_scope: str,
         np.asarray(head_params["sal_w"], np.float32),
         np.asarray(head_params["sal_b"], np.float32))
     return np.asarray(logits)
+
+
+def pose_head_tf(feats, kernel, bias):
+    """The pose-regularized variant's auxiliary head: 1x1 conv from the
+    shared pre-pool features to num_joints(+background) heatmap channels
+    (SURVEY.md section 2.1 pose-regularization row) — raw tf.nn ops,
+    independent of models/heads.py::PoseHead."""
+    import tensorflow as tf
+
+    return tf.nn.conv2d(feats, tf.constant(np.asarray(kernel, np.float32)),
+                        1, "SAME") + np.asarray(bias, np.float32)
+
+
+def full_forward_pose(images, ckpt_path: str, model_scope: str,
+                      head_params: dict, pose_params: dict):
+    """Backbone + attentional pooling + pose head, entirely in TF2 ops:
+    returns (logits, heatmaps) like ActionModel(pooling='pose_attention')."""
+    v = load_slim_vars(ckpt_path)
+    feats = resnet_v1_forward(images, v, model_scope)
+    logits = attentional_pool_tf(
+        feats,
+        np.asarray(head_params["attn_w"], np.float32),
+        np.asarray(head_params["attn_b"], np.float32),
+        np.asarray(head_params["sal_w"], np.float32),
+        np.asarray(head_params["sal_b"], np.float32))
+    heatmaps = pose_head_tf(feats, pose_params["pose_conv"]["kernel"],
+                            pose_params["pose_conv"]["bias"])
+    return np.asarray(logits), np.asarray(heatmaps)
