@@ -19,7 +19,7 @@ import numpy as np
 
 from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
 from attentionalpoolingaction_tpu.data.datasets import DatasetSpec
-from attentionalpoolingaction_tpu.data.native_io import TFRecordDataSource
+from attentionalpoolingaction_tpu.data.native_io import make_source
 
 
 def parse_example(raw: bytes, spec: DatasetSpec, *,
@@ -78,7 +78,7 @@ def make_train_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
 
     resize_min = resize_min or image_size
     resize_max = resize_max or int(resize_min * 512 / 256)
-    src = TFRecordDataSource(pattern)
+    src = make_source(pattern)
     ds = grain.MapDataset.source(src).seed(seed)
     if shard_count > 1:
         ds = ds.slice(slice(shard_index, None, shard_count))
@@ -172,7 +172,7 @@ def make_video_train_dataset(pattern, spec: DatasetSpec, *,
 
     resize_min = resize_min or image_size
     resize_max = resize_max or int(resize_min * 512 / 256)
-    src = TFRecordDataSource(pattern)
+    src = make_source(pattern)
     by_vid = build_video_index(src, spec)
     frame_lists = [by_vid[v] for v in sorted(by_vid)]
 
@@ -201,7 +201,7 @@ def make_eval_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
     import grain
 
     resize_min = resize_min or image_size
-    src = TFRecordDataSource(pattern)
+    src = make_source(pattern)
     ds = grain.MapDataset.source(src).seed(0)
     ds = ds.map(
         lambda raw: _to_features(
@@ -225,7 +225,7 @@ def make_multicrop_eval_dataset(pattern, spec: DatasetSpec, *,
     shard across the mesh — evaluate.make_multicrop_eval_step)."""
     import grain
 
-    src = TFRecordDataSource(pattern)
+    src = make_source(pattern)
     ds = grain.MapDataset.source(src).seed(0)
 
     def to_features(raw):

@@ -138,6 +138,28 @@ class IndexedTFRecordFile:
         self._count = None
 
 
+def make_source(pattern, *, verify_crc: bool = False):
+    """Random-access Grain source for a file pattern, dispatched by format:
+    ``*.array_record`` / ``*.arrayrecord`` files open as ArrayRecord (its
+    footer IS the index), anything else as indexed TFRecords (our native
+    C++ reader).  Both yield raw serialized tf.train.Example bytes, so the
+    rest of the Grain pipeline is format-agnostic."""
+    import glob as _glob
+
+    if isinstance(pattern, str):
+        paths = sorted(_glob.glob(pattern)) or [pattern]
+    else:
+        paths = list(pattern)
+    if any(p.endswith((".array_record", ".arrayrecord")) for p in paths):
+        if not all(p.endswith((".array_record", ".arrayrecord"))
+                   for p in paths):
+            raise ValueError(f"mixed record formats in {paths}")
+        from grain.sources import ArrayRecordDataSource
+
+        return ArrayRecordDataSource(paths)
+    return TFRecordDataSource(paths, verify_crc=verify_crc)
+
+
 class TFRecordDataSource:
     """Grain RandomAccessDataSource over sharded TFRecord files: a global
     index into the concatenation of per-file records."""

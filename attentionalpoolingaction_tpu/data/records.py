@@ -69,6 +69,23 @@ def write_tfrecord(path, serialized_examples):
             f.write(struct.pack("<I", _masked_crc(data)))
 
 
+def write_array_record(path, serialized_examples, *,
+                       group_size: int = 1):
+    """Write serialized example protos to an ArrayRecord file (the
+    random-access-native container — no sidecar index needed; SURVEY.md
+    section 1 target L1 lists ArrayRecord as the optional alternative to
+    indexed TFRecords).  ``group_size=1`` keeps every record independently
+    seekable, the right trade for Grain global shuffle."""
+    from array_record.python.array_record_module import ArrayRecordWriter
+
+    w = ArrayRecordWriter(path, f"group_size:{group_size}")
+    try:
+        for data in serialized_examples:
+            w.write(data)
+    finally:
+        w.close()
+
+
 def read_tfrecord(path):
     """Yield serialized example protos from a TFRecord file."""
     with open(path, "rb") as f:

@@ -27,6 +27,9 @@ flags.DEFINE_multi_string("images", [], "input image paths")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("batch_size", 32, "inference batch size")
 flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_bool("int8", False,
+                  "BN-folded post-training-int8 serving path "
+                  "(models/inference.py)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None, "force a JAX backend")
 flags.mark_flag_as_required("workdir")
@@ -46,8 +49,26 @@ def main(argv):
     restored = ckpt_lib.restore_for_eval(mgr, step=FLAGS.step)
     if restored is None:
         raise SystemExit(f"no checkpoint under {cfg.workdir}/checkpoints")
-    model = build_model(cfg)
-    step_fn = eval_lib.make_eval_step(model)
+    if FLAGS.int8:
+        import jax
+        import numpy as _np
+
+        from attentionalpoolingaction_tpu.models import inference as inf
+
+        fwd = inf.make_int8_forward(
+            {"params": restored.params,
+             "batch_stats": restored.batch_stats},
+            backbone=cfg.backbone,
+            pooling="avg" if cfg.pooling == "avg" else "attention",
+            calibration_batches=[_np.random.default_rng(0).normal(
+                0, 64.0, (8, cfg.image_size, cfg.image_size, 3))])
+
+        def step_fn(params, batch_stats, images):
+            del params, batch_stats
+            return fwd(jax.numpy.asarray(images))["logits"]
+    else:
+        model = build_model(cfg)
+        step_fn = eval_lib.make_eval_step(model)
 
     from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
 

@@ -1,0 +1,118 @@
+"""HTTP model server: checkpoint -> padded/bucketed TPU inference endpoint.
+
+Std-lib only (ThreadingHTTPServer); requests coalesce through
+serving.DynamicBatcher so concurrent clients share device dispatches.
+
+Usage:
+    python -m attentionalpoolingaction_tpu.serve_cli \
+        --config mpii_rank1_224 --workdir /tmp/run1 --port 8800 [--int8]
+
+Endpoints:
+    GET  /healthz          -> {"status": "ok", ...}
+    POST /predict          body = raw JPEG/PNG bytes -> {"topk": [...]}
+    POST /predict_batch    body = {"images": [<base64>, ...]}
+                           -> {"results": [{"topk": [...]}, ...]}
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from absl import app, flags, logging
+
+from attentionalpoolingaction_tpu import config as config_lib
+from attentionalpoolingaction_tpu import serving
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("config", "mpii_rank1_224", "preset name")
+flags.DEFINE_string("workdir", None, "run dir containing checkpoints/")
+flags.DEFINE_integer("port", 8800, "HTTP port")
+flags.DEFINE_string("host", "127.0.0.1", "bind address")
+flags.DEFINE_bool("int8", False, "serve the quantized BN-folded path")
+flags.DEFINE_integer("topk", 5, "top-k classes to report")
+flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
+flags.DEFINE_integer("max_batch", 32, "dynamic batcher max coalesced batch")
+flags.DEFINE_float("max_wait_ms", 5.0, "dynamic batcher max wait")
+flags.DEFINE_multi_string("set", [], "config overrides field=value")
+flags.mark_flag_as_required("workdir")
+
+
+def make_server(predictor: serving.Predictor, host: str, port: int,
+                topk: int, max_batch: int,
+                max_wait_ms: float) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server — separated for tests."""
+    batcher = serving.DynamicBatcher(
+        lambda blobs: predictor.predict_bytes(blobs, topk=topk),
+        max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # absl logging, not stderr spam
+            logging.info("%s " + fmt, self.address_string(), *args)
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "dataset": predictor.cfg.dataset,
+                                 "int8": predictor.int8,
+                                 "buckets": list(predictor.buckets)})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if self.path == "/predict":
+                    self._json(200, batcher.submit(body).result(timeout=60))
+                elif self.path == "/predict_batch":
+                    blobs = [base64.b64decode(b)
+                             for b in json.loads(body)["images"]]
+                    futs = [batcher.submit(b) for b in blobs]
+                    self._json(200, {"results": [f.result(timeout=60)
+                                                 for f in futs]})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except Exception as exc:  # noqa: BLE001 - report to client
+                self._json(400, {"error": str(exc)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # for clean shutdown
+    return server
+
+
+def main(argv):
+    del argv
+    overrides = config_lib.parse_overrides(FLAGS.set)
+    overrides["workdir"] = FLAGS.workdir
+    cfg = config_lib.get_config(FLAGS.config, **overrides)
+    predictor = serving.load_predictor(
+        cfg, step=FLAGS.step, int8=FLAGS.int8,
+        buckets=[int(b) for b in FLAGS.buckets])
+    logging.info("compiling %s buckets...", predictor.buckets)
+    predictor.warmup()
+    server = make_server(predictor, FLAGS.host, FLAGS.port, FLAGS.topk,
+                         FLAGS.max_batch, FLAGS.max_wait_ms)
+    logging.info("serving %s on %s:%d (int8=%s)", FLAGS.config, FLAGS.host,
+                 FLAGS.port, FLAGS.int8)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.batcher.stop()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,213 @@
+"""Online serving: bucketed-batch predictor + dynamic request batching.
+
+The reference is a research repo with no serving layer (SURVEY.md section 1:
+"There is no serving layer"); this module is the TPU-native deployment
+counterpart the task calls for.  Design:
+
+  * **Shape bucketing.** XLA compiles one executable per input shape, so a
+    serving process must bound the shape set: requests are padded up to the
+    next batch bucket (default 1/8/32/128) and every bucket is compiled at
+    startup (``warmup()``), so no request ever pays a JIT compile.
+  * **Dynamic batching.** `DynamicBatcher` coalesces concurrent requests
+    into one device dispatch (bounded wait), amortizing the per-dispatch
+    overhead that dominates small-batch TPU serving.
+  * **Precision modes.** bf16 (the training graph in eval mode) or int8
+    (the BN-folded post-training-quantized path, models/inference.py) —
+    int8 halves HBM traffic and uses the MXU's double-rate int8 path.
+
+Preprocessing runs on host threads via the NumPy/cv2 mirror of the eval
+transform (data/preprocessing_np.py), so serving needs no TensorFlow.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attentionalpoolingaction_tpu import config as config_lib
+from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
+from attentionalpoolingaction_tpu.data.datasets import get_dataset
+from attentionalpoolingaction_tpu.models import inference as inf
+from attentionalpoolingaction_tpu.train import build_model
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+class Predictor:
+    """Checkpointed model -> padded, bucketed, jitted batch inference."""
+
+    def __init__(self, cfg: config_lib.TrainConfig, params, batch_stats, *,
+                 int8: bool = False, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 calibration_images: Any = None):
+        self.cfg = cfg
+        self.spec = get_dataset(cfg.dataset)
+        self.buckets = tuple(sorted(buckets))
+        self.int8 = int8
+        if int8:
+            variables = {"params": params, "batch_stats": batch_stats}
+            folded = inf.fold_backbone(variables, cfg.backbone)
+            head = params["head"]
+            act_scales = None
+            if calibration_images is not None:
+                act_scales = inf.calibrate_act_scales(
+                    folded, head, [np.asarray(calibration_images,
+                                              np.float32)],
+                    backbone=cfg.backbone,
+                    pooling="avg" if cfg.pooling == "avg" else "attention")
+            qfolded = inf.quantize_folded(folded)
+
+            def fwd(images):
+                return inf.folded_forward(
+                    qfolded, head, images, backbone=cfg.backbone,
+                    pooling="avg" if cfg.pooling == "avg" else "attention",
+                    act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
+
+            self._fwd = jax.jit(fwd)
+        else:
+            model = build_model(cfg)
+
+            def fwd(images):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, train=False)["logits"]
+
+            self._fwd = jax.jit(fwd)
+
+    # -- shape management ------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warmup(self):
+        """Compile every bucket up front so no request pays a JIT."""
+        for b in self.buckets:
+            z = np.zeros((b, self.cfg.image_size, self.cfg.image_size, 3),
+                         np.float32)
+            jax.block_until_ready(self._fwd(z))
+
+    # -- inference -------------------------------------------------------
+    def predict_arrays(self, images: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) preprocessed images -> (N, C) probabilities.
+        N may exceed the largest bucket; it is chunked."""
+        out = []
+        cap = self.buckets[-1]
+        for lo in range(0, len(images), cap):
+            chunk = images[lo:lo + cap]
+            b = self._bucket(len(chunk))
+            if len(chunk) < b:
+                pad = np.zeros((b - len(chunk),) + chunk.shape[1:],
+                               chunk.dtype)
+                padded = np.concatenate([chunk, pad])
+            else:
+                padded = chunk
+            logits = np.asarray(self._fwd(padded), np.float32)[:len(chunk)]
+            out.append(self._probs(logits))
+        return np.concatenate(out)
+
+    def _probs(self, logits: np.ndarray) -> np.ndarray:
+        if self.spec.multi_label:
+            return 1.0 / (1.0 + np.exp(-logits))
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    def preprocess(self, image_bytes: bytes) -> np.ndarray:
+        img, _ = ppnp.preprocess_image_np(
+            image_bytes, out_size=self.cfg.image_size, is_training=False,
+            resize_min=self.cfg.resize_min_resolved)
+        return img
+
+    def predict_bytes(self, blobs: Sequence[bytes], topk: int = 5):
+        """JPEG/PNG bytes -> [{"topk": [{"class": c, "prob": p}, ...]}]."""
+        images = np.stack([self.preprocess(b) for b in blobs])
+        probs = self.predict_arrays(images)
+        results = []
+        for p in probs:
+            top = np.argsort(-p)[:topk]
+            results.append({"topk": [{"class": int(c), "prob": float(p[c])}
+                                     for c in top]})
+        return results
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single requests into one device dispatch.
+
+    submit() returns a Future; a worker thread drains the queue, waiting at
+    most ``max_wait_ms`` after the first request to fill up to
+    ``max_batch``, then runs ``predict_fn`` on the coalesced batch.
+    """
+
+    def __init__(self, predict_fn, *, max_batch: int = 32,
+                 max_wait_ms: float = 5.0):
+        self._predict = predict_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            t0 = time.monotonic()
+            while (len(batch) < self.max_batch
+                   and (time.monotonic() - t0) < self.max_wait):
+                try:
+                    batch.append(self._q.get(timeout=max(
+                        0.0, self.max_wait - (time.monotonic() - t0))))
+                except queue.Empty:
+                    break
+            items = [b[0] for b in batch]
+            futures = [b[1] for b in batch]
+            try:
+                results = self._predict(items)
+                for fut, res in zip(futures, results):
+                    fut.set_result(res)
+            except Exception as exc:  # pragma: no cover - defensive
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+
+def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
+                   int8: bool = False,
+                   buckets: Sequence[int] = DEFAULT_BUCKETS) -> Predictor:
+    """Restore the latest (or ``step``) checkpoint under cfg.workdir and
+    build a ready Predictor."""
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    restored = ckpt_lib.restore_for_eval(mgr, step=step)
+    if restored is None:
+        raise FileNotFoundError(
+            f"no checkpoint under {cfg.workdir}/checkpoints")
+    calib = None
+    if int8:
+        # calibrate activation scales on noise at input scale; callers with
+        # real data should pass their own via Predictor(...) directly
+        rng = np.random.default_rng(0)
+        calib = rng.normal(0, 64.0, (8, cfg.image_size, cfg.image_size, 3))
+    return Predictor(cfg, restored.params, restored.batch_stats, int8=int8,
+                     buckets=buckets, calibration_images=calib)

@@ -45,8 +45,8 @@ def timeit(fn, x, iters=100):
         def body(carry, _):
             xc, acc = carry
             xc = jax.lax.dynamic_update_slice(
-                xc, (acc[None, None, None] * 1e-6).astype(xc.dtype),
-                (0, 0, 0))
+                xc, (acc * 1e-6).astype(xc.dtype).reshape((1,) * xc.ndim),
+                (0,) * xc.ndim)
             out = fn(xc)
             return (xc, out[0, 0]), ()
         (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None,

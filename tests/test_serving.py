@@ -1,0 +1,155 @@
+"""Serving layer: bucketed Predictor, DynamicBatcher, HTTP endpoint."""
+
+import base64
+import http.client
+import json
+import threading
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu import serving
+from attentionalpoolingaction_tpu.config import TrainConfig
+from attentionalpoolingaction_tpu.models.action_model import ActionModel
+
+
+def _tiny_cfg(**kw):
+    return TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                       pooling="attention", rank=1, image_size=64,
+                       batch_size=4, learning_rate=1e-3,
+                       grad_clip_norm=10.0, lr_schedule="constant",
+                       bf16_backbone=False, resize_min=72, **kw)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    return serving.Predictor(cfg, variables["params"],
+                             variables["batch_stats"], buckets=(2, 4))
+
+
+def _jpeg(seed=0, size=80):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (size, size, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return bytes(buf.tobytes())
+
+
+def test_bucketing_and_padding(predictor):
+    assert predictor._bucket(1) == 2
+    assert predictor._bucket(3) == 4
+    assert predictor._bucket(9) == 4          # chunked at the largest bucket
+    imgs = np.random.default_rng(0).normal(
+        size=(5, 64, 64, 3)).astype(np.float32)
+    probs = predictor.predict_arrays(imgs)
+    assert probs.shape == (5, 393)
+    # padding must not change real rows: compare against unchunked pieces
+    probs2 = predictor.predict_arrays(imgs[:2])
+    np.testing.assert_allclose(probs[:2], probs2, rtol=2e-4, atol=1e-6)
+    assert np.allclose(probs.sum(-1), 1.0, atol=1e-3)   # softmax
+
+
+def test_predict_bytes_topk(predictor):
+    res = predictor.predict_bytes([_jpeg(0), _jpeg(1)], topk=3)
+    assert len(res) == 2
+    for r in res:
+        assert len(r["topk"]) == 3
+        probs = [e["prob"] for e in r["topk"]]
+        assert probs == sorted(probs, reverse=True)
+
+
+def test_dynamic_batcher_coalesces():
+    calls = []
+
+    def predict(items):
+        calls.append(len(items))
+        return [i * 2 for i in items]
+
+    b = serving.DynamicBatcher(predict, max_batch=8, max_wait_ms=50.0)
+    futs = [b.submit(i) for i in range(6)]
+    assert [f.result(timeout=5) for f in futs] == [0, 2, 4, 6, 8, 10]
+    b.stop()
+    assert sum(calls) == 6
+    assert max(calls) > 1          # at least some coalescing happened
+
+
+def test_dynamic_batcher_propagates_errors():
+    def predict(items):
+        raise ValueError("boom")
+
+    b = serving.DynamicBatcher(predict, max_batch=4, max_wait_ms=1.0)
+    fut = b.submit(b"x")
+    with pytest.raises(ValueError, match="boom"):
+        fut.result(timeout=5)
+    b.stop()
+
+
+def test_http_server_end_to_end(predictor):
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=3, max_batch=4,
+                         max_wait_ms=2.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok" and health["dataset"] == "mpii"
+
+        conn.request("POST", "/predict", body=_jpeg(2),
+                     headers={"Content-Type": "image/jpeg"})
+        out = json.loads(conn.getresponse().read())
+        assert len(out["topk"]) == 3
+
+        payload = json.dumps({"images": [
+            base64.b64encode(_jpeg(3)).decode(),
+            base64.b64encode(_jpeg(4)).decode()]})
+        conn.request("POST", "/predict_batch", body=payload)
+        out = json.loads(conn.getresponse().read())
+        assert len(out["results"]) == 2
+
+        conn.request("POST", "/predict", body=b"not an image")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "error" in json.loads(resp.read())
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
+
+
+def test_int8_predictor_close_to_float():
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    imgs = np.random.default_rng(1).normal(
+        0, 64.0, size=(4, 64, 64, 3)).astype(np.float32)
+    p_f = serving.Predictor(cfg, variables["params"],
+                            variables["batch_stats"], buckets=(4,))
+    p_q = serving.Predictor(cfg, variables["params"],
+                            variables["batch_stats"], buckets=(4,),
+                            int8=True, calibration_images=imgs)
+    # compare LOGITS (probabilities exponentiate quantization noise on a
+    # random-init head, making them a meaninglessly brittle target)
+    a = np.asarray(p_f._fwd(imgs), np.float64)
+    b = np.asarray(p_q._fwd(imgs), np.float64)
+    cos = (a.ravel() @ b.ravel()) / (
+        np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9
+    # and the serving surface stays valid probabilities
+    probs = p_q.predict_arrays(imgs)
+    assert probs.shape == (4, 393)
+    assert np.allclose(probs.sum(-1), 1.0, atol=1e-3)
