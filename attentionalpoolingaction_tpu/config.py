@@ -80,6 +80,10 @@ class TrainConfig:
     # eval
     eval_batch_size: int = 8
     eval_multicrop: int = 0             # 0 = single central crop
+    # evaluate over the quantized serving path (BN-folded + per-channel
+    # int8 weights, dynamic activation scales — models/inference.py);
+    # measures the PTQ mAP/accuracy delta on the real eval protocol
+    eval_int8: bool = False
 
     @property
     def resize_min_resolved(self) -> int:

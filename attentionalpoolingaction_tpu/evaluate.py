@@ -90,6 +90,54 @@ def make_multicrop_eval_step(model, mesh=None):
                    out_shardings=data)
 
 
+def make_int8_eval_step(cfg: config_lib.TrainConfig, mesh=None,
+                        multicrop: bool = False):
+    """Eval step over the quantized serving path (models/inference.py):
+    BN-folded backbone, per-channel int8 weights, dynamic per-tensor
+    activation scales (no calibration data needed at eval time).
+
+    The jitted program takes the quantized pytree as an ARGUMENT, so
+    repeated evaluations of new checkpoints (eval_cli --follow) re-fold/
+    re-quantize (cheap) without recompiling; signature matches
+    make_eval_step's (params, batch_stats, images)."""
+    from attentionalpoolingaction_tpu.models import inference as inf
+
+    pooling = "avg" if cfg.pooling == "avg" else "attention"
+    dtype = jnp.bfloat16 if cfg.bf16_backbone else jnp.float32
+
+    def _run(q, head, images):
+        if multicrop:
+            b, c = images.shape[:2]
+            images = images.reshape((b * c,) + images.shape[2:])
+        logits = inf.folded_forward(
+            q, head, normalize_images(images), backbone=cfg.backbone,
+            pooling=pooling, dtype=dtype)["logits"]
+        if multicrop:
+            logits = jnp.mean(logits.reshape(b, c, -1), axis=1)
+        return logits
+
+    if mesh is None:
+        run = jax.jit(_run)
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        run = jax.jit(_run, in_shardings=(repl, repl, data),
+                      out_shardings=data)
+
+    cache: dict = {}
+
+    def step_fn(params, batch_stats, images):
+        if cache.get("key") != id(params):   # new checkpoint -> requantize
+            folded = inf.fold_backbone(
+                {"params": params, "batch_stats": batch_stats},
+                cfg.backbone)
+            cache.update(key=id(params), q=inf.quantize_folded(folded),
+                         head=params["head"])
+        return run(cache["q"], cache["head"], images)
+
+    return step_fn
+
+
 def make_eval_input(cfg: config_lib.TrainConfig, spec):
     """Build the eval input iterator per ``cfg.input_pipeline`` (both the
     tf.data and Grain paths support single- and multi-crop eval)."""
@@ -135,9 +183,12 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
     if step_fn is None:
         if mesh is None:
             mesh = mesh_from_config(cfg)
-        model = build_model(cfg)
-        step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
-                   else make_eval_step(model, mesh))
+        if cfg.eval_int8:
+            step_fn = make_int8_eval_step(cfg, mesh, multicrop=multicrop)
+        else:
+            model = build_model(cfg)
+            step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
+                       else make_eval_step(model, mesh))
 
     if eval_iter is None:
         eval_iter = make_eval_input(cfg, spec)
@@ -210,10 +261,14 @@ class Evaluator:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
         mesh = self.mesh
-        model = build_model(cfg)
         multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
-        self.step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
-                        else make_eval_step(model, mesh))
+        if cfg.eval_int8:
+            self.step_fn = make_int8_eval_step(cfg, mesh,
+                                               multicrop=multicrop)
+        else:
+            model = build_model(cfg)
+            self.step_fn = (make_multicrop_eval_step(model, mesh)
+                            if multicrop else make_eval_step(model, mesh))
 
     def __call__(self, state, **kwargs):
         return evaluate(self.cfg, state, mesh=self.mesh,

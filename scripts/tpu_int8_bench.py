@@ -50,11 +50,13 @@ def conv_microbench():
                                                          "NHWC"),
                 preferred_element_type=jnp.float32)
 
-        # timeit chains via out[0,0]: wrap to return a 2D slice
-        t8 = timeit(lambda x: conv_i8(x)[:, 0, 0, :].astype(jnp.float32),
-                    x8, iters=50)
-        tb = timeit(lambda x: conv_bf(x)[:, 0, 0, :].astype(jnp.float32),
-                    xb, iters=50)
+        # timeit carries out[0,0]; a bare output slice lets XLA narrow the
+        # conv to that window (measured "1us" convs — dead-code
+        # elimination), so reduce the FULL output into the carried value
+        t8 = timeit(lambda x: jnp.sum(conv_i8(x)).reshape(1, 1)
+                    .astype(jnp.float32), x8, iters=50)
+        tb = timeit(lambda x: jnp.sum(conv_bf(x).astype(jnp.float32))
+                    .reshape(1, 1), xb, iters=50)
         print(f"conv {k}x{k} B{b} {hw}x{hw}x{cin}->{cout}: "
               f"int8={t8*1e6:.0f}us bf16={tb*1e6:.0f}us "
               f"speedup={tb/max(t8,1e-12):.2f}x")

@@ -112,6 +112,40 @@ def test_quantize_roundtrip_error_bounded():
     assert (np.abs(w - wq) <= bound[None, None, None, :] + 1e-6).all()
 
 
+def test_int8_eval_step_and_evaluate(tmp_path):
+    """cfg.eval_int8 routes evaluate() through the quantized path; the
+    step is checkpoint-swappable without retracing (eval_cli --follow)."""
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu.config import TrainConfig
+    from attentionalpoolingaction_tpu.data.records import (
+        write_synthetic_dataset)
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+    from attentionalpoolingaction_tpu import train as train_lib
+
+    spec = get_dataset("mpii")
+    write_synthetic_dataset(str(tmp_path / "val.tfrecord"), spec, 6,
+                            image_size=72, seed=1)
+    cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                      pooling="attention", rank=1, image_size=64,
+                      batch_size=4, learning_rate=1e-3,
+                      grad_clip_norm=10.0, lr_schedule="constant",
+                      bf16_backbone=False, resize_min=72,
+                      eval_pattern=str(tmp_path / "val.tfrecord"),
+                      eval_batch_size=4, eval_int8=True)
+    state, _, _, _ = train_lib.create_state(cfg)
+    res = eval_lib.evaluate(cfg, state)
+    assert res["num_examples"] == 6
+    assert np.isfinite(res["mAP"])
+
+    # swapping in a new state re-quantizes but reuses the compiled step
+    step = eval_lib.make_int8_eval_step(cfg)
+    imgs = np.zeros((2, 64, 64, 3), np.float32)
+    a = step(state.params, state.batch_stats, imgs)
+    state2, _, _, _ = train_lib.create_state(cfg)  # fresh pytree ids
+    b = step(state2.params, state2.batch_stats, imgs)
+    assert a.shape == b.shape == (2, 393)
+
+
 def test_make_int8_forward_jits():
     _, variables = _make_model()
     images = jax.random.normal(jax.random.key(6), (2, 64, 64, 3))
