@@ -127,11 +127,14 @@ def make_int8_eval_step(cfg: config_lib.TrainConfig, mesh=None,
     cache: dict = {}
 
     def step_fn(params, batch_stats, images):
-        if cache.get("key") != id(params):   # new checkpoint -> requantize
+        # identity check against a STRONG reference — an id() key could
+        # collide when CPython recycles a freed pytree's address across
+        # --follow checkpoint swaps and silently serve stale weights
+        if cache.get("params") is not params:  # new checkpoint
             folded = inf.fold_backbone(
                 {"params": params, "batch_stats": batch_stats},
                 cfg.backbone)
-            cache.update(key=id(params), q=inf.quantize_folded(folded),
+            cache.update(params=params, q=inf.quantize_folded(folded),
                          head=params["head"])
         return run(cache["q"], cache["head"], images)
 

@@ -1,24 +1,23 @@
 """Batch inference CLI: checkpoint + image files -> top-k class
 predictions as JSON lines (the serving-style counterpart of eval_cli's
-dataset protocol).
+dataset protocol).  A thin shell over serving.Predictor — the same
+preprocessing, bucketing, softmax/sigmoid, and top-k as serve_cli's
+HTTP endpoint (one implementation to maintain).
 
 Usage:
     python -m attentionalpoolingaction_tpu.predict_cli \
         --config mpii_rank1_224 --workdir /tmp/run1 \
-        --images a.jpg b.jpg [--topk 5] [--batch_size 32]
+        --images a.jpg b.jpg [--topk 5] [--batch_size 32] [--int8]
 """
 
 from __future__ import annotations
 
 import json
 
-import numpy as np
 from absl import app, flags
 
-from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
 from attentionalpoolingaction_tpu import config as config_lib
-from attentionalpoolingaction_tpu import evaluate as eval_lib
-from attentionalpoolingaction_tpu.train import build_model
+from attentionalpoolingaction_tpu import serving
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string("config", "mpii_rank1_224", "preset name")
@@ -45,58 +44,19 @@ def main(argv):
     overrides["workdir"] = FLAGS.workdir
     cfg = config_lib.get_config(FLAGS.config, **overrides)
 
-    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
-    restored = ckpt_lib.restore_for_eval(mgr, step=FLAGS.step)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {cfg.workdir}/checkpoints")
-    if FLAGS.int8:
-        import jax
-        import numpy as _np
-
-        from attentionalpoolingaction_tpu.models import inference as inf
-
-        fwd = inf.make_int8_forward(
-            {"params": restored.params,
-             "batch_stats": restored.batch_stats},
-            backbone=cfg.backbone,
-            pooling="avg" if cfg.pooling == "avg" else "attention",
-            calibration_batches=[_np.random.default_rng(0).normal(
-                0, 64.0, (8, cfg.image_size, cfg.image_size, 3))])
-
-        def step_fn(params, batch_stats, images):
-            del params, batch_stats
-            return fwd(jax.numpy.asarray(images))["logits"]
-    else:
-        model = build_model(cfg)
-        step_fn = eval_lib.make_eval_step(model)
-
-    from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
-
+    predictor = serving.load_predictor(
+        cfg, step=FLAGS.step, int8=FLAGS.int8,
+        buckets=(FLAGS.batch_size,))
     paths = list(FLAGS.images)
     for lo in range(0, len(paths), FLAGS.batch_size):
         chunk = paths[lo:lo + FLAGS.batch_size]
-        imgs = []
+        blobs = []
         for p in chunk:
             with open(p, "rb") as f:
-                img, _ = ppnp.preprocess_image_np(
-                    f.read(), out_size=cfg.image_size, is_training=False,
-                    resize_min=cfg.resize_min_resolved)
-            imgs.append(img)
-        logits = np.asarray(step_fn(
-            restored.params, restored.batch_stats,
-            np.stack(imgs)))
-        if cfg.dataset == "hico":
-            probs = 1.0 / (1.0 + np.exp(-logits))      # multi-label
-        else:
-            e = np.exp(logits - logits.max(-1, keepdims=True))
-            probs = e / e.sum(-1, keepdims=True)
-        for path, p in zip(chunk, probs):
-            top = np.argsort(-p)[:FLAGS.topk]
-            print(json.dumps({
-                "image": path,
-                "topk": [{"class": int(c), "prob": float(p[c])}
-                         for c in top],
-            }), flush=True)
+                blobs.append(f.read())
+        for path, res in zip(chunk, predictor.predict_bytes(
+                blobs, topk=FLAGS.topk)):
+            print(json.dumps({"image": path, **res}), flush=True)
 
 
 if __name__ == "__main__":

@@ -74,17 +74,27 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 if self.path == "/predict":
-                    self._json(200, batcher.submit(body).result(timeout=60))
+                    res = batcher.submit(body).result(timeout=60)
+                    # per-item decode failures come back as {"error": ...}
+                    # (Predictor.predict_bytes) -> client error for THIS
+                    # request only; concurrent batch-mates are unaffected
+                    self._json(400 if "error" in res else 200, res)
                 elif self.path == "/predict_batch":
-                    blobs = [base64.b64decode(b)
-                             for b in json.loads(body)["images"]]
+                    try:
+                        blobs = [base64.b64decode(b)
+                                 for b in json.loads(body)["images"]]
+                    except Exception as exc:
+                        self._json(400, {"error": f"bad request: {exc}"})
+                        return
                     futs = [batcher.submit(b) for b in blobs]
                     self._json(200, {"results": [f.result(timeout=60)
                                                  for f in futs]})
                 else:
                     self._json(404, {"error": "unknown path"})
-            except Exception as exc:  # noqa: BLE001 - report to client
-                self._json(400, {"error": str(exc)})
+            except Exception as exc:  # internal failure (device stall,
+                # future timeout, ...) — 500 so LBs retry/mark unhealthy
+                # rather than blaming the request
+                self._json(500, {"error": str(exc)})
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # for clean shutdown

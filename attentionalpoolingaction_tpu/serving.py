@@ -50,6 +50,10 @@ class Predictor:
         self.spec = get_dataset(cfg.dataset)
         self.buckets = tuple(sorted(buckets))
         self.int8 = int8
+        # weights are passed as jit ARGUMENTS (not closed over): a closure
+        # would re-stage the full ~170MB param tree as constants into each
+        # bucket's executable (4 buckets => 4 embedded copies + slow
+        # compiles); as device-array args they are shared across buckets
         if int8:
             variables = {"params": params, "batch_stats": batch_stats}
             folded = inf.fold_backbone(variables, cfg.backbone)
@@ -61,24 +65,22 @@ class Predictor:
                                               np.float32)],
                     backbone=cfg.backbone,
                     pooling="avg" if cfg.pooling == "avg" else "attention")
-            qfolded = inf.quantize_folded(folded)
+            self._weights = (inf.quantize_folded(folded), head)
 
-            def fwd(images):
+            def fwd(weights, images):
+                q, head = weights
                 return inf.folded_forward(
-                    qfolded, head, images, backbone=cfg.backbone,
+                    q, head, images, backbone=cfg.backbone,
                     pooling="avg" if cfg.pooling == "avg" else "attention",
                     act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
-
-            self._fwd = jax.jit(fwd)
         else:
             model = build_model(cfg)
+            self._weights = {"params": params, "batch_stats": batch_stats}
 
-            def fwd(images):
-                return model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    images, train=False)["logits"]
+            def fwd(weights, images):
+                return model.apply(weights, images, train=False)["logits"]
 
-            self._fwd = jax.jit(fwd)
+        self._fwd = jax.jit(fwd)
 
     # -- shape management ------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -92,7 +94,7 @@ class Predictor:
         for b in self.buckets:
             z = np.zeros((b, self.cfg.image_size, self.cfg.image_size, 3),
                          np.float32)
-            jax.block_until_ready(self._fwd(z))
+            jax.block_until_ready(self._fwd(self._weights, z))
 
     # -- inference -------------------------------------------------------
     def predict_arrays(self, images: np.ndarray) -> np.ndarray:
@@ -109,7 +111,8 @@ class Predictor:
                 padded = np.concatenate([chunk, pad])
             else:
                 padded = chunk
-            logits = np.asarray(self._fwd(padded), np.float32)[:len(chunk)]
+            logits = np.asarray(self._fwd(self._weights, padded),
+                                np.float32)[:len(chunk)]
             out.append(self._probs(logits))
         return np.concatenate(out)
 
@@ -126,14 +129,26 @@ class Predictor:
         return img
 
     def predict_bytes(self, blobs: Sequence[bytes], topk: int = 5):
-        """JPEG/PNG bytes -> [{"topk": [{"class": c, "prob": p}, ...]}]."""
-        images = np.stack([self.preprocess(b) for b in blobs])
-        probs = self.predict_arrays(images)
-        results = []
-        for p in probs:
-            top = np.argsort(-p)[:topk]
-            results.append({"topk": [{"class": int(c), "prob": float(p[c])}
-                                     for c in top]})
+        """JPEG/PNG bytes -> per-item {"topk": [...]} or {"error": ...}.
+
+        Each blob decodes independently, so one corrupt image in a
+        coalesced batch (DynamicBatcher) yields an error for THAT item
+        only — it must not poison concurrent requests' results."""
+        images, slots = [], []
+        results: list = [None] * len(blobs)
+        for i, b in enumerate(blobs):
+            try:
+                images.append(self.preprocess(b))
+                slots.append(i)
+            except Exception as exc:  # undecodable/invalid image bytes
+                results[i] = {"error": f"bad image: {exc}"}
+        if images:
+            probs = self.predict_arrays(np.stack(images))
+            for i, p in zip(slots, probs):
+                top = np.argsort(-p)[:topk]
+                results[i] = {"topk": [{"class": int(c),
+                                        "prob": float(p[c])}
+                                       for c in top]}
         return results
 
 

@@ -56,6 +56,21 @@ def test_train_then_eval_cli(tmp_path):
     with open(out_json) as f:
         assert json.loads(f.readline())["step"] == 2
 
+    # predict_cli on the same checkpoint (thin shell over serving.Predictor)
+    import cv2
+    import numpy as np
+    img_p = str(tmp_path / "img.jpg")
+    cv2.imwrite(img_p, np.random.default_rng(0).integers(
+        0, 255, (80, 80, 3), np.uint8))
+    r = run_cli("attentionalpoolingaction_tpu.predict_cli",
+                "--config", "mpii_rank1_224", "--workdir", workdir,
+                "--images", img_p, "--topk", "3", "--batch_size", "2",
+                *COMMON)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    pred = json.loads(line)
+    assert pred["image"] == img_p and len(pred["topk"]) == 3
+
 
 @pytest.mark.slow
 def test_sigterm_preempts_cleanly(tmp_path):

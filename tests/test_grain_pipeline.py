@@ -109,7 +109,7 @@ def test_grain_sharding_partitions(mpii_records):
     from attentionalpoolingaction_tpu.data import grain_pipeline as gp
 
     path, _ = mpii_records
-    src = gp.TFRecordDataSource(path)
+    src = native_io.TFRecordDataSource(path)
     a = grain.MapDataset.source(src).slice(slice(0, None, 2))
     b = grain.MapDataset.source(src).slice(slice(1, None, 2))
     assert len(a) + len(b) == len(src)
@@ -145,7 +145,7 @@ def test_video_index_groups_frames(hmdb_records):
     from attentionalpoolingaction_tpu.data import grain_pipeline as gp
 
     path, spec = hmdb_records
-    by_vid = gp.build_video_index(gp.TFRecordDataSource(path), spec)
+    by_vid = gp.build_video_index(native_io.TFRecordDataSource(path), spec)
     assert sorted(by_vid) == [0, 1, 2, 3]
     assert all(len(v) == 4 for v in by_vid.values())
 
@@ -257,7 +257,7 @@ def test_video_index_sidecar_cache(tmp_path):
     spec = get_dataset("hmdb51")
     rec.write_synthetic_dataset(path, spec, 8, image_size=60, seed=0,
                                 frames_per_video=4)
-    src = gp.TFRecordDataSource(path)
+    src = native_io.TFRecordDataSource(path)
     first = gp.build_video_index(src, spec)
     sidecar = tmp_path / "t.tfrecord.vidx.json"
     assert sidecar.exists()
@@ -266,13 +266,13 @@ def test_video_index_sidecar_cache(tmp_path):
     cached = json.loads(sidecar.read_text())
     cached["video_ids"] = [9] * 8
     sidecar.write_text(json.dumps(cached))
-    poisoned = gp.build_video_index(gp.TFRecordDataSource(path), spec)
+    poisoned = gp.build_video_index(native_io.TFRecordDataSource(path), spec)
     assert sorted(poisoned) == [9]
 
     # stale key (file rewritten, size differs) -> rebuild from records
     rec.write_synthetic_dataset(path, spec, 12, image_size=64, seed=1,
                                 frames_per_video=4)
     (tmp_path / "t.tfrecord.idx").unlink()  # record index is also stale
-    rebuilt = gp.build_video_index(gp.TFRecordDataSource(path), spec)
+    rebuilt = gp.build_video_index(native_io.TFRecordDataSource(path), spec)
     assert sorted(rebuilt) == [0, 1, 2], sorted(rebuilt)
     assert json.loads(sidecar.read_text())["video_ids"] != [9] * 8

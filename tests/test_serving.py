@@ -66,6 +66,15 @@ def test_predict_bytes_topk(predictor):
         assert probs == sorted(probs, reverse=True)
 
 
+def test_bad_image_does_not_poison_batch(predictor):
+    """One undecodable blob in a coalesced batch errors THAT item only."""
+    res = predictor.predict_bytes([_jpeg(7), b"not an image", _jpeg(8)],
+                                  topk=2)
+    assert len(res[0]["topk"]) == 2
+    assert "error" in res[1] and "topk" not in res[1]
+    assert len(res[2]["topk"]) == 2
+
+
 def test_dynamic_batcher_coalesces():
     calls = []
 
@@ -144,8 +153,8 @@ def test_int8_predictor_close_to_float():
                             int8=True, calibration_images=imgs)
     # compare LOGITS (probabilities exponentiate quantization noise on a
     # random-init head, making them a meaninglessly brittle target)
-    a = np.asarray(p_f._fwd(imgs), np.float64)
-    b = np.asarray(p_q._fwd(imgs), np.float64)
+    a = np.asarray(p_f._fwd(p_f._weights, imgs), np.float64)
+    b = np.asarray(p_q._fwd(p_q._weights, imgs), np.float64)
     cos = (a.ravel() @ b.ravel()) / (
         np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.9
