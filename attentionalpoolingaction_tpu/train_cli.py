@@ -40,6 +40,9 @@ flags.DEFINE_string("jax_platform", None,
 flags.DEFINE_bool("multiprocess", False,
                   "initialize the JAX multi-host runtime "
                   "(jax.distributed.initialize)")
+flags.DEFINE_integer("attn_summary_every", 0,
+                     "write attention-map overlay images to TensorBoard "
+                     "every N steps (0 = off; needs an attention head)")
 flags.DEFINE_integer("trace_at_step", 0,
                      "capture a device profile starting at this step "
                      "(0 = off); written to <workdir>/trace for "
@@ -85,6 +88,11 @@ def main(argv):
                 logging.info("eval@%d: %s", step, results)
 
         hooks.append(eval_hook)
+    if FLAGS.attn_summary_every:
+        from attentionalpoolingaction_tpu.utils import visualize
+
+        hooks.append(visualize.make_attention_summary_hook(
+            cfg, writer, FLAGS.attn_summary_every))
     if FLAGS.trace_at_step:
         from attentionalpoolingaction_tpu.utils import profiling
 

@@ -39,6 +39,60 @@ def overlay_heatmap(image_rgb: np.ndarray, attn: np.ndarray,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def make_attention_summary_hook(cfg, writer, every: int,
+                                num_images: int = 4):
+    """Train-loop hook writing attention-map overlays to TensorBoard every
+    ``every`` steps — the image-summary stream of the reference's
+    tf.summary training graph (SURVEY.md section 5 "Metrics/logging";
+    section 3.4 visualization flow), rebuilt as a host-side hook over
+    ``attention_overlays``.
+
+    A fixed probe batch (first ``num_images`` examples of the eval split,
+    falling back to the train split) is loaded lazily once; every firing
+    re-runs it through the CURRENT params, so TensorBoard's image slider
+    shows attention sharpening as training progresses."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+    if cfg.pooling == "avg":
+        raise ValueError("attention summaries need an attention head; "
+                         f"pooling={cfg.pooling!r}")
+    model = train_lib.build_model(cfg)
+    probe: dict = {}
+
+    def hook(step, state, metrics):
+        del metrics
+        if every <= 0 or step % every:
+            return
+        if "images" not in probe:
+            cfg_probe = cfg
+            if not cfg.eval_pattern:
+                cfg_probe = dataclasses.replace(
+                    cfg, eval_pattern=cfg.train_pattern)
+            it = eval_lib.make_eval_input(cfg_probe,
+                                          get_dataset(cfg.dataset))
+            batch = next(iter(it))
+            imgs = batch["image"][:num_images]
+            if imgs.ndim == 5:          # multicrop eval: take crop 0
+                imgs = imgs[:, 0]
+            probe["images"] = np.asarray(
+                train_lib.normalize_images(jnp.asarray(imgs)), np.float32)
+        out = attention_overlays(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats}, probe["images"])
+        writer.write_images(step, {
+            "attention/top_down": np.stack(out["top_down"]),
+            "attention/saliency": np.stack(out["saliency"]),
+        })
+
+    return hook
+
+
 def attention_overlays(model, variables, images, *, class_idx=None,
                        alpha: float = 0.5):
     """Run the model with return_maps=True and produce overlay images.

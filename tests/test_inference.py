@@ -146,6 +146,35 @@ def test_int8_eval_step_and_evaluate(tmp_path):
     assert a.shape == b.shape == (2, 393)
 
 
+def test_int8_eval_step_on_mesh(tmp_path):
+    """eval_int8 under an 8-device data mesh: the quantized forward shards
+    over the batch like the regular eval step and matches the unsharded
+    int8 logits."""
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+    from attentionalpoolingaction_tpu.config import TrainConfig
+
+    cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                      pooling="attention", rank=1, image_size=64,
+                      batch_size=8, learning_rate=1e-3,
+                      grad_clip_norm=10.0, lr_schedule="constant",
+                      bf16_backbone=False, resize_min=72,
+                      mesh_shape=(8,), eval_batch_size=8, eval_int8=True)
+    state, _, _, _ = train_lib.create_state(cfg)
+    mesh = eval_lib.mesh_from_config(cfg)
+    assert mesh is not None
+    imgs = np.asarray(jax.random.normal(
+        jax.random.key(8), (8, 64, 64, 3)) * 32, np.float32)
+    sharded = eval_lib.make_int8_eval_step(cfg, mesh)(
+        state.params, state.batch_stats, imgs)
+    single = eval_lib.make_int8_eval_step(cfg)(
+        state.params, state.batch_stats, imgs)
+    # sharded reduction order shifts the dynamic activation scales by
+    # ~1ulp -> per-mille logit wiggle; identity is not expected, closeness is
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=5e-3, atol=5e-2)
+
+
 def test_make_int8_forward_jits():
     _, variables = _make_model()
     images = jax.random.normal(jax.random.key(6), (2, 64, 64, 3))

@@ -21,6 +21,52 @@ def test_normalize_map_constant():
     np.testing.assert_array_equal(m, np.zeros((3, 3)))
 
 
+def test_attention_summary_hook(tmp_path, rng):
+    """The train-loop image-summary hook: lazily loads a probe batch,
+    renders overlays with the CURRENT params, writes via the metric
+    writer's write_images."""
+    from attentionalpoolingaction_tpu.config import TrainConfig
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+    from attentionalpoolingaction_tpu.data.records import (
+        write_synthetic_dataset)
+    from attentionalpoolingaction_tpu import train as train_lib
+
+    spec = get_dataset("mpii")
+    write_synthetic_dataset(str(tmp_path / "val.tfrecord"), spec, 4,
+                            image_size=72, seed=0)
+    cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                      pooling="attention", rank=1, image_size=64,
+                      batch_size=4, learning_rate=1e-3,
+                      grad_clip_norm=10.0, lr_schedule="constant",
+                      bf16_backbone=False, resize_min=72,
+                      eval_pattern=str(tmp_path / "val.tfrecord"),
+                      eval_batch_size=4)
+    state, _, _, _ = train_lib.create_state(cfg)
+
+    written = {}
+
+    class FakeWriter:
+        def write_images(self, step, images):
+            written[step] = images
+
+    hook = viz.make_attention_summary_hook(cfg, FakeWriter(), every=2,
+                                           num_images=2)
+    hook(1, state, {})                  # off-cycle: no write
+    hook(2, state, {})
+    assert list(written) == [2]
+    imgs = written[2]["attention/top_down"]
+    assert imgs.shape == (2, 64, 64, 3) and imgs.dtype == np.uint8
+    assert written[2]["attention/saliency"].shape == (2, 64, 64, 3)
+
+    import dataclasses
+
+    import pytest
+
+    with pytest.raises(ValueError, match="attention head"):
+        viz.make_attention_summary_hook(
+            dataclasses.replace(cfg, pooling="avg"), FakeWriter(), every=2)
+
+
 def test_attention_overlays_end_to_end(rng):
     model = ActionModel(num_classes=6, backbone="resnet_v1_50",
                         pooling="attention")
