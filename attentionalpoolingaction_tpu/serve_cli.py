@@ -44,9 +44,10 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 topk: int, max_batch: int,
                 max_wait_ms: float) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server — separated for tests."""
+    stats = predictor.stats
     batcher = serving.DynamicBatcher(
         lambda blobs: predictor.predict_bytes(blobs, topk=topk),
-        max_batch=max_batch, max_wait_ms=max_wait_ms)
+        max_batch=max_batch, max_wait_ms=max_wait_ms, stats=stats)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # absl logging, not stderr spam
@@ -66,6 +67,14 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                                  "dataset": predictor.cfg.dataset,
                                  "int8": predictor.int8,
                                  "buckets": list(predictor.buckets)})
+            elif self.path == "/metrics":      # Prometheus text format
+                body = stats.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -78,7 +87,10 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     # per-item decode failures come back as {"error": ...}
                     # (Predictor.predict_bytes) -> client error for THIS
                     # request only; concurrent batch-mates are unaffected
-                    self._json(400 if "error" in res else 200, res)
+                    ok = "error" not in res
+                    stats.inc("serving_requests_total" if ok
+                              else "serving_request_errors_total")
+                    self._json(200 if ok else 400, res)
                 elif self.path == "/predict_batch":
                     try:
                         blobs = [base64.b64decode(b)
@@ -87,8 +99,12 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                         self._json(400, {"error": f"bad request: {exc}"})
                         return
                     futs = [batcher.submit(b) for b in blobs]
-                    self._json(200, {"results": [f.result(timeout=60)
-                                                 for f in futs]})
+                    results = [f.result(timeout=60) for f in futs]
+                    for r in results:
+                        stats.inc("serving_requests_total"
+                                  if "error" not in r
+                                  else "serving_request_errors_total")
+                    self._json(200, {"results": results})
                 else:
                     self._json(404, {"error": "unknown path"})
             except Exception as exc:  # internal failure (device stall,

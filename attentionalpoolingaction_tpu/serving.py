@@ -40,16 +40,50 @@ from attentionalpoolingaction_tpu.train import build_model
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
 
+class ServingStats:
+    """Thread-safe serving counters, rendered as Prometheus text
+    (`serve_cli` GET /metrics).  Tracks what production monitoring of a
+    batching inference server needs: request outcomes, device dispatches
+    and their wall time, coalesced batch sizes, and padding waste."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._c: dict[str, float] = {}
+
+    def inc(self, name: str, value: float = 1.0):
+        with self._lock:
+            self._c[name] = self._c.get(name, 0.0) + value
+
+    def observe_dispatch(self, real: int, padded: int, seconds: float):
+        self.inc("serving_device_dispatches_total")
+        self.inc("serving_device_seconds_sum", seconds)
+        self.inc("serving_items_total", real)
+        self.inc("serving_padded_items_total", padded - real)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return dict(self._c)
+
+    def render(self) -> str:
+        lines = []
+        for name, v in sorted(self.snapshot().items()):
+            lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name} {v:g}")
+        return "\n".join(lines) + "\n"
+
+
 class Predictor:
     """Checkpointed model -> padded, bucketed, jitted batch inference."""
 
     def __init__(self, cfg: config_lib.TrainConfig, params, batch_stats, *,
                  int8: bool = False, buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 calibration_images: Any = None):
+                 calibration_images: Any = None,
+                 stats: ServingStats | None = None):
         self.cfg = cfg
         self.spec = get_dataset(cfg.dataset)
         self.buckets = tuple(sorted(buckets))
         self.int8 = int8
+        self.stats = stats or ServingStats()
         # weights are passed as jit ARGUMENTS (not closed over): a closure
         # would re-stage the full ~170MB param tree as constants into each
         # bucket's executable (4 buckets => 4 embedded copies + slow
@@ -111,8 +145,11 @@ class Predictor:
                 padded = np.concatenate([chunk, pad])
             else:
                 padded = chunk
+            t0 = time.monotonic()
             logits = np.asarray(self._fwd(self._weights, padded),
                                 np.float32)[:len(chunk)]
+            self.stats.observe_dispatch(len(chunk), len(padded),
+                                        time.monotonic() - t0)
             out.append(self._probs(logits))
         return np.concatenate(out)
 
@@ -161,10 +198,12 @@ class DynamicBatcher:
     """
 
     def __init__(self, predict_fn, *, max_batch: int = 32,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 stats: ServingStats | None = None):
         self._predict = predict_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.stats = stats or ServingStats()
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -196,6 +235,8 @@ class DynamicBatcher:
                     break
             items = [b[0] for b in batch]
             futures = [b[1] for b in batch]
+            self.stats.inc("serving_coalesced_batches_total")
+            self.stats.inc("serving_coalesced_items_total", len(items))
             try:
                 results = self._predict(items)
                 for fut, res in zip(futures, results):

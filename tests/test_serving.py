@@ -106,6 +106,7 @@ def test_http_server_end_to_end(predictor):
 
     server = make_server(predictor, "127.0.0.1", 0, topk=3, max_batch=4,
                          max_wait_ms=2.0)
+    before = predictor.stats.snapshot()   # fixture is module-scoped
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -131,6 +132,20 @@ def test_http_server_end_to_end(predictor):
         resp = conn.getresponse()
         assert resp.status == 400
         assert "error" in json.loads(resp.read())
+
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = dict(
+            line.split() for line in resp.read().decode().splitlines()
+            if line and not line.startswith("#"))
+        delta = {k: float(v) - before.get(k, 0.0) for k, v in raw.items()}
+        # this test made 3 good requests (1 raw + 2 batch) and 1 bad
+        assert delta["serving_requests_total"] == 3
+        assert delta["serving_request_errors_total"] == 1
+        assert delta["serving_items_total"] == 3
+        assert delta["serving_device_dispatches_total"] >= 1
+        assert delta["serving_device_seconds_sum"] > 0
     finally:
         server.shutdown()
         server.batcher.stop()
