@@ -88,6 +88,10 @@ class Predictor:
         # would re-stage the full ~170MB param tree as constants into each
         # bucket's executable (4 buckets => 4 embedded copies + slow
         # compiles); as device-array args they are shared across buckets
+        # requests transfer as uint8 (4x less H2D than f32) and normalize
+        # on device — same lesson as the train pipeline's transfer_uint8
+        from attentionalpoolingaction_tpu.train import normalize_images
+
         if int8:
             variables = {"params": params, "batch_stats": batch_stats}
             folded = inf.fold_backbone(variables, cfg.backbone)
@@ -104,7 +108,8 @@ class Predictor:
             def fwd(weights, images):
                 q, head = weights
                 return inf.folded_forward(
-                    q, head, images, backbone=cfg.backbone,
+                    q, head, normalize_images(images),
+                    backbone=cfg.backbone,
                     pooling="avg" if cfg.pooling == "avg" else "attention",
                     act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
         else:
@@ -112,7 +117,8 @@ class Predictor:
             self._weights = {"params": params, "batch_stats": batch_stats}
 
             def fwd(weights, images):
-                return model.apply(weights, images, train=False)["logits"]
+                return model.apply(weights, normalize_images(images),
+                                   train=False)["logits"]
 
         self._fwd = jax.jit(fwd)
 
@@ -162,7 +168,7 @@ class Predictor:
     def preprocess(self, image_bytes: bytes) -> np.ndarray:
         img, _ = ppnp.preprocess_image_np(
             image_bytes, out_size=self.cfg.image_size, is_training=False,
-            resize_min=self.cfg.resize_min_resolved)
+            resize_min=self.cfg.resize_min_resolved, keep_uint8=True)
         return img
 
     def predict_bytes(self, blobs: Sequence[bytes], topk: int = 5):
