@@ -31,6 +31,10 @@ flags.DEFINE_string("workdir", None, "run dir containing checkpoints/")
 flags.DEFINE_integer("port", 8800, "HTTP port")
 flags.DEFINE_string("host", "127.0.0.1", "bind address")
 flags.DEFINE_bool("int8", False, "serve the quantized BN-folded path")
+flags.DEFINE_multi_string(
+    "calibration_images", [],
+    "representative images for static int8 activation scales "
+    "(omit for dynamic per-tensor scales)")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
 flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
@@ -124,7 +128,8 @@ def main(argv):
     cfg = config_lib.get_config(FLAGS.config, **overrides)
     predictor = serving.load_predictor(
         cfg, step=FLAGS.step, int8=FLAGS.int8,
-        buckets=[int(b) for b in FLAGS.buckets])
+        buckets=[int(b) for b in FLAGS.buckets],
+        calibration_files=FLAGS.calibration_images)
     logging.info("compiling %s buckets...", predictor.buckets)
     predictor.warmup()
     server = make_server(predictor, FLAGS.host, FLAGS.port, FLAGS.topk,

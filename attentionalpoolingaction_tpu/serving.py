@@ -255,9 +255,16 @@ class DynamicBatcher:
 
 def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
                    int8: bool = False,
-                   buckets: Sequence[int] = DEFAULT_BUCKETS) -> Predictor:
+                   buckets: Sequence[int] = DEFAULT_BUCKETS,
+                   calibration_files: Sequence[str] = ()) -> Predictor:
     """Restore the latest (or ``step``) checkpoint under cfg.workdir and
-    build a ready Predictor."""
+    build a ready Predictor.
+
+    int8 activation scales: with ``calibration_files`` (paths to
+    representative images) a static-scale calibration pass runs over
+    them; without, scales are computed dynamically per tensor at
+    inference (slightly slower, but never clips on ranges a synthetic
+    calibration set failed to cover)."""
     from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
 
     mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
@@ -266,10 +273,14 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
         raise FileNotFoundError(
             f"no checkpoint under {cfg.workdir}/checkpoints")
     calib = None
-    if int8:
-        # calibrate activation scales on noise at input scale; callers with
-        # real data should pass their own via Predictor(...) directly
-        rng = np.random.default_rng(0)
-        calib = rng.normal(0, 64.0, (8, cfg.image_size, cfg.image_size, 3))
+    if int8 and calibration_files:
+        imgs = []
+        for p in calibration_files:
+            with open(p, "rb") as f:
+                img, _ = ppnp.preprocess_image_np(
+                    f.read(), out_size=cfg.image_size, is_training=False,
+                    resize_min=cfg.resize_min_resolved)
+            imgs.append(img)
+        calib = np.stack(imgs)
     return Predictor(cfg, restored.params, restored.batch_stats, int8=int8,
                      buckets=buckets, calibration_images=calib)
