@@ -47,6 +47,20 @@ def main():
     tail = float(np.mean(losses[-3:]))
     assert tail < losses[0] * 0.6, "did not learn"
     assert results["accuracy"] > 0.5, "did not overfit the train set"
+
+    # int8 PTQ delta on TRAINED weights (the random-init logit cosine in
+    # tests underestimates nothing here: same protocol, same data, only
+    # the backbone path is quantized)
+    import dataclasses
+    results8 = eval_lib.evaluate(
+        dataclasses.replace(cfg, eval_int8=True), state)
+    print("train-set eval (int8):", results8, flush=True)
+    drop = results["accuracy"] - results8["accuracy"]
+    print(f"int8 accuracy delta: {drop:+.4f} "
+          f"({results['accuracy']:.3f} -> {results8['accuracy']:.3f})",
+          flush=True)
+    assert results8["accuracy"] > results["accuracy"] - 0.05, \
+        "int8 quantization lost >5 points on the overfit set"
     print("E2E LEARNING OK", flush=True)
 
 
