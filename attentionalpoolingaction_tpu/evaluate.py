@@ -93,7 +93,7 @@ def make_multicrop_eval_step(model, mesh=None):
 def make_int8_eval_step(cfg: config_lib.TrainConfig, mesh=None,
                         multicrop: bool = False):
     """Eval step over the quantized serving path (models/inference.py):
-    BN-folded backbone, per-channel int8 weights, dynamic per-tensor
+    BN-folded backbone, per-channel int8 weights, dynamic per-example
     activation scales (no calibration data needed at eval time).
 
     The jitted program takes the quantized pytree as an ARGUMENT, so

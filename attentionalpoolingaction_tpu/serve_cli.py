@@ -34,7 +34,7 @@ flags.DEFINE_bool("int8", False, "serve the quantized BN-folded path")
 flags.DEFINE_multi_string(
     "calibration_images", [],
     "representative images for static int8 activation scales "
-    "(omit for dynamic per-tensor scales)")
+    "(omit for dynamic per-example scales)")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
 flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
@@ -100,6 +100,7 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                         blobs = [base64.b64decode(b)
                                  for b in json.loads(body)["images"]]
                     except Exception as exc:
+                        stats.inc("serving_request_errors_total")
                         self._json(400, {"error": f"bad request: {exc}"})
                         return
                     futs = [batcher.submit(b) for b in blobs]
@@ -113,7 +114,9 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     self._json(404, {"error": "unknown path"})
             except Exception as exc:  # internal failure (device stall,
                 # future timeout, ...) — 500 so LBs retry/mark unhealthy
-                # rather than blaming the request
+                # rather than blaming the request; counted so alerts on
+                # serving_internal_errors_total fire while requests fail
+                stats.inc("serving_internal_errors_total")
                 self._json(500, {"error": str(exc)})
 
     server = ThreadingHTTPServer((host, port), Handler)

@@ -35,7 +35,7 @@ from attentionalpoolingaction_tpu import config as config_lib
 from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
 from attentionalpoolingaction_tpu.data.datasets import get_dataset
 from attentionalpoolingaction_tpu.models import inference as inf
-from attentionalpoolingaction_tpu.train import build_model
+from attentionalpoolingaction_tpu.train import build_model, normalize_images
 
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
@@ -73,7 +73,14 @@ class ServingStats:
 
 
 class Predictor:
-    """Checkpointed model -> padded, bucketed, jitted batch inference."""
+    """Checkpointed model -> padded, bucketed, jitted batch inference.
+
+    Input contract: images may be uint8 (raw 0-255 RGB — the serving path;
+    4x less host->device traffic, mean-subtracted on device) or float32
+    ALREADY mean-subtracted (library callers; floats pass through
+    normalize_images unchanged).  ``calibration_images``, when given, must
+    be mean-subtracted float (they feed the float calibration forward
+    directly)."""
 
     def __init__(self, cfg: config_lib.TrainConfig, params, batch_stats, *,
                  int8: bool = False, buckets: Sequence[int] = DEFAULT_BUCKETS,
@@ -88,10 +95,6 @@ class Predictor:
         # would re-stage the full ~170MB param tree as constants into each
         # bucket's executable (4 buckets => 4 embedded copies + slow
         # compiles); as device-array args they are shared across buckets
-        # requests transfer as uint8 (4x less H2D than f32) and normalize
-        # on device — same lesson as the train pipeline's transfer_uint8
-        from attentionalpoolingaction_tpu.train import normalize_images
-
         if int8:
             variables = {"params": params, "batch_stats": batch_stats}
             folded = inf.fold_backbone(variables, cfg.backbone)
@@ -130,16 +133,22 @@ class Predictor:
         return self.buckets[-1]
 
     def warmup(self):
-        """Compile every bucket up front so no request pays a JIT."""
+        """Compile every bucket up front so no request pays a JIT.
+
+        jit keys on dtype, so warm the dtype requests actually arrive in:
+        uint8 (predict_bytes' keep_uint8 host path). Library callers who
+        feed float arrays compile their own trace on first use."""
         for b in self.buckets:
             z = np.zeros((b, self.cfg.image_size, self.cfg.image_size, 3),
-                         np.float32)
+                         np.uint8)
             jax.block_until_ready(self._fwd(self._weights, z))
 
     # -- inference -------------------------------------------------------
     def predict_arrays(self, images: np.ndarray) -> np.ndarray:
-        """(N, H, W, 3) preprocessed images -> (N, C) probabilities.
-        N may exceed the largest bucket; it is chunked."""
+        """(N, H, W, 3) images -> (N, C) probabilities.  uint8 = raw RGB
+        (normalized on device); float32 = already mean-subtracted (see
+        class docstring).  N may exceed the largest bucket; it is
+        chunked."""
         out = []
         cap = self.buckets[-1]
         for lo in range(0, len(images), cap):
@@ -262,7 +271,7 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
 
     int8 activation scales: with ``calibration_files`` (paths to
     representative images) a static-scale calibration pass runs over
-    them; without, scales are computed dynamically per tensor at
+    them; without, scales are computed dynamically per example at
     inference (slightly slower, but never clips on ranges a synthetic
     calibration set failed to cover)."""
     from attentionalpoolingaction_tpu import checkpoint as ckpt_lib

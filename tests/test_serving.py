@@ -66,6 +66,17 @@ def test_predict_bytes_topk(predictor):
         assert probs == sorted(probs, reverse=True)
 
 
+def test_warmup_covers_request_dtype(predictor):
+    """warmup() must compile the graphs real requests hit: predict_bytes
+    feeds uint8 (host keep_uint8 path), so a post-warmup request may not
+    trigger a fresh jit trace."""
+    predictor.warmup()
+    n0 = predictor._fwd._cache_size()
+    assert n0 >= len(predictor.buckets)
+    predictor.predict_bytes([_jpeg(9)])
+    assert predictor._fwd._cache_size() == n0
+
+
 def test_bad_image_does_not_poison_batch(predictor):
     """One undecodable blob in a coalesced batch errors THAT item only."""
     res = predictor.predict_bytes([_jpeg(7), b"not an image", _jpeg(8)],
