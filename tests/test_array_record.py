@@ -54,6 +54,29 @@ def test_eval_dataset_from_array_record(mpii_both_formats):
     assert batches[0]["image"].shape == (4, 64, 64, 3)
 
 
+def test_hmdb_video_sampling_from_array_record(tmp_path):
+    """Video-indexed HMDB training works from an ArrayRecord source: the
+    index builder's non-indexed fallback (no .files attr) scans the
+    source directly."""
+    spec = get_dataset("hmdb51")
+    tfr = str(tmp_path / "hmdb.tfrecord")
+    records.write_synthetic_dataset(tfr, spec, 8, image_size=60, seed=0,
+                                    frames_per_video=4)
+    ar = str(tmp_path / "hmdb.array_record")
+    records.write_array_record(ar, records.read_tfrecord(tfr))
+
+    src = make_source(ar)
+    by_vid = gp.build_video_index(src, spec)
+    assert sum(len(v) for v in by_vid.values()) == 8
+    assert all(len(v) == 4 for v in by_vid.values())   # 2 videos x 4 frames
+
+    ds = gp.make_video_train_dataset(ar, spec, batch_size=2, image_size=48,
+                                     resize_min=60, seed=1)
+    batch = next(iter(ds))
+    assert batch["image"].shape == (2, 48, 48, 3)
+    assert set(batch) >= {"label", "video_id", "frame"}
+
+
 def test_reformat_cli_roundtrip(mpii_both_formats, tmp_path):
     from attentionalpoolingaction_tpu.data.reformat import reformat_file
 
