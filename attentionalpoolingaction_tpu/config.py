@@ -102,18 +102,24 @@ PRESETS: dict[str, TrainConfig] = {
         dataset="mpii", pooling="attention", rank=1, image_size=224,
         batch_size=8, bf16_backbone=False),
     # 2: "HICO multi-label human-object interaction cls"
+    # freeze_bn: the paper's runs FINE-TUNE from ImageNet; slim-era
+    # fine-tuning normalizes with the pretrained running stats (gradients
+    # still reach BN scale/bias).  Also +17% step rate measured on v5e
+    # (no BN stat reduction traffic — ARCHITECTURE.md roofline).
     "hico_multilabel": TrainConfig(
         dataset="hico", pooling="attention", rank=1, image_size=448,
-        batch_size=32, learning_rate=0.01),
+        batch_size=32, learning_rate=0.01, freeze_bn=True),
     # 3: "MPII pose-regularized variant"
     "mpii_pose_attention": TrainConfig(
         dataset="mpii", pooling="pose_attention", rank=1, image_size=448,
-        batch_size=32, pose_loss_weight=0.1, learning_rate=0.01),
+        batch_size=32, pose_loss_weight=0.1, learning_rate=0.01,
+        freeze_bn=True),
     # 4: "HMDB51 video: per-frame attn-pooled logits + temporal averaging"
     # (grain pipeline => per-epoch random-frame sampling per video)
     "hmdb51_rgb": TrainConfig(
         dataset="hmdb51", pooling="attention", rank=1, image_size=224,
-        batch_size=64, learning_rate=0.01, input_pipeline="grain"),
+        batch_size=64, learning_rate=0.01, input_pipeline="grain",
+        freeze_bn=True),
     # 5: "High-res multi-rank: rank-k bilinear pooling at 450px, multi-crop
     #     eval on TPU mesh"
     # (use_pallas left off: the einsum head measured faster — see
@@ -121,7 +127,7 @@ PRESETS: dict[str, TrainConfig] = {
     "mpii_rank5_450_mesh": TrainConfig(
         dataset="mpii", pooling="attention", rank=5, image_size=450,
         batch_size=64, mesh_shape=(8,), eval_multicrop=3,
-        learning_rate=0.01),
+        learning_rate=0.01, freeze_bn=True),
 }
 
 

@@ -38,29 +38,21 @@ def anno_to_known(anno_col: np.ndarray) -> np.ndarray:
 
 
 def write_records(filenames, anno, images_dir, out_dir, *, split,
-                  shards=8):
+                  shards=8, writer_cls=rec.ShardedTFRecordWriter):
+    """Streams: one image in memory at a time, each example written to its
+    round-robin shard immediately (VERDICT r2 next #2)."""
     import tensorflow as tf
 
-    os.makedirs(out_dir, exist_ok=True)
-    count = 0
-    per_shard = [[] for _ in range(shards)]
-    for i, name in enumerate(filenames):
-        per_shard[i % shards].append((str(name), anno[:, i]))
-    for shard_idx, shard in enumerate(per_shard):
-        path = os.path.join(
-            out_dir, f"{split}-{shard_idx:05d}-of-{shards:05d}.tfrecord")
-        serialized = []
-        for name, col in shard:
-            with open(os.path.join(images_dir, name), "rb") as f:
+    with writer_cls(out_dir, split, shards) as w:
+        for i, name in enumerate(filenames):
+            with open(os.path.join(images_dir, str(name)), "rb") as f:
                 jpeg = f.read()
             shape = tf.io.extract_jpeg_shape(jpeg).numpy()
-            serialized.append(rec.make_example(
+            w.write(rec.make_example(
                 jpeg, height=int(shape[0]), width=int(shape[1]),
-                multi_hot=anno_to_multi_hot(col),
-                anno=anno_to_known(col)))
-            count += 1
-        rec.write_tfrecord(path, serialized)
-    return count
+                multi_hot=anno_to_multi_hot(anno[:, i]),
+                anno=anno_to_known(anno[:, i])))
+        return w.count
 
 
 def main(argv=None):

@@ -101,37 +101,30 @@ def build_label_map(entries) -> dict[int, int]:
 
 
 def write_records(entries, images_dir, out_dir, *, split, label_map,
-                  shards=8):
+                  shards=8, writer_cls=rec.ShardedTFRecordWriter):
     """Write one split's entries as sharded TFRecords; returns #examples.
-    Entries without an action label are skipped (not part of the task)."""
+    Entries without an action label are skipped (not part of the task).
+    Streams: one example in memory at a time, each written to its
+    round-robin shard immediately (VERDICT r2 next #2)."""
     import tensorflow as tf
 
-    os.makedirs(out_dir, exist_ok=True)
-    use = [e for e in entries if e["act_id"] in label_map]
-    per_shard = [[] for _ in range(shards)]
-    for i, e in enumerate(use):
-        per_shard[i % shards].append(e)
-    count = 0
-    for shard_idx, shard in enumerate(per_shard):
-        path = os.path.join(
-            out_dir, f"{split}-{shard_idx:05d}-of-{shards:05d}.tfrecord")
-        serialized = []
-        for e in shard:
+    with writer_cls(out_dir, split, shards) as w:
+        for e in entries:
+            if e["act_id"] not in label_map:
+                continue
             img_path = os.path.join(images_dir, e["image_name"])
             with open(img_path, "rb") as f:
                 jpeg = f.read()
             shape = tf.io.extract_jpeg_shape(jpeg).numpy()
             kps = e["keypoints"]
-            serialized.append(rec.make_example(
+            w.write(rec.make_example(
                 jpeg, height=int(shape[0]), width=int(shape[1]),
                 label=label_map[e["act_id"]],
                 keypoints=kps if kps is not None else np.full(
                     (MPII_NUM_JOINTS, 2), -1.0, np.float32),
                 visibility=e["visibility"] if e["visibility"] is not None
                 else np.zeros((MPII_NUM_JOINTS,), np.float32)))
-            count += 1
-        rec.write_tfrecord(path, serialized)
-    return count
+        return w.count
 
 
 def main(argv=None):

@@ -116,7 +116,9 @@ def _file_video_ids(f) -> list[int]:
 
     sidecar = pathlib.Path(f.tfrecord_path + ".vidx.json")
     st = os.stat(f.tfrecord_path)
-    key = [int(st.st_size), int(st.st_mtime)]
+    # mtime at ns resolution: a same-size rewrite within the same SECOND
+    # would pass a coarse (size, mtime_s) key and serve stale video ids
+    key = [int(st.st_size), int(st.st_mtime_ns)]
     if sidecar.exists():
         try:
             cached = json.loads(sidecar.read_text())
@@ -196,13 +198,18 @@ def make_video_train_dataset(pattern, spec: DatasetSpec, *,
 
 def make_eval_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
                       image_size: int, resize_min: int | None = None,
-                      pad_to_batch: bool = True):
-    """One-pass deterministic eval dataset with final-batch padding."""
+                      pad_to_batch: bool = True, shard_index: int = 0,
+                      shard_count: int = 1):
+    """One-pass deterministic eval dataset with final-batch padding.
+    ``shard_count > 1`` slices the split per process (multi-host sharded
+    eval — each host reads a disjoint 1/shard_count of the examples)."""
     import grain
 
     resize_min = resize_min or image_size
     src = make_source(pattern)
     ds = grain.MapDataset.source(src).seed(0)
+    if shard_count > 1:
+        ds = ds.slice(slice(shard_index, None, shard_count))
     ds = ds.map(
         lambda raw: _to_features(
             parse_example(raw, spec, include_anno=spec.multi_label), None,
@@ -219,7 +226,9 @@ def make_eval_dataset(pattern, spec: DatasetSpec, *, batch_size: int,
 def make_multicrop_eval_dataset(pattern, spec: DatasetSpec, *,
                                 batch_size: int, image_size: int,
                                 resize_min: int, num_crops: int = 3,
-                                pad_to_batch: bool = True):
+                                pad_to_batch: bool = True,
+                                shard_index: int = 0,
+                                shard_count: int = 1):
     """Grain mirror of pipeline.make_multicrop_eval_iterator: each example
     becomes (num_crops, H, W, 3); crops average in the eval step (and
     shard across the mesh — evaluate.make_multicrop_eval_step)."""
@@ -227,6 +236,8 @@ def make_multicrop_eval_dataset(pattern, spec: DatasetSpec, *,
 
     src = make_source(pattern)
     ds = grain.MapDataset.source(src).seed(0)
+    if shard_count > 1:
+        ds = ds.slice(slice(shard_index, None, shard_count))
 
     def to_features(raw):
         parsed = parse_example(raw, spec,

@@ -196,14 +196,15 @@ def make_eval_iterator(file_pattern, spec: DatasetSpec, *,
 def make_multicrop_eval_iterator(file_pattern, spec: DatasetSpec, *,
                                  batch_size: int, image_size: int,
                                  resize_min: int, num_crops: int = 3,
-                                 pad_to_batch: bool = True):
+                                 pad_to_batch: bool = True,
+                                 shard_by_process: bool = False):
     """High-res multi-crop eval (BASELINE.json config #5): each example
     becomes (num_crops, H, W, 3); evaluate.make_multicrop_eval_step
     averages logits over the crop dim (crops shard across the mesh)."""
     import tensorflow as tf
 
     ds = _base_dataset(file_pattern, spec, shuffle=False, seed=0,
-                       shard_by_process=False)
+                       shard_by_process=shard_by_process)
 
     def to_features(parsed):
         crops = pp.eval_multicrop_tf(

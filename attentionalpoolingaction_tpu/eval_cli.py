@@ -28,6 +28,11 @@ flags.DEFINE_integer("step", None, "checkpoint step (default: latest)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None,
                     "force a JAX backend (e.g. cpu); default = env")
+flags.DEFINE_bool("multiprocess", False,
+                  "initialize the JAX multi-host runtime; eval then "
+                  "shards the split across processes (each host reads "
+                  "1/process_count, results are gathered — identical "
+                  "metrics on every host, 1/N the wall time)")
 flags.DEFINE_bool("follow", False,
                   "keep polling for new checkpoints and eval each one")
 flags.DEFINE_integer("poll_secs", 60, "poll interval for --follow")
@@ -44,6 +49,10 @@ def main(argv):
         import jax
 
         jax.config.update("jax_platforms", FLAGS.jax_platform)
+    if FLAGS.multiprocess:
+        from attentionalpoolingaction_tpu.parallel import multihost
+
+        multihost.setup()
     overrides = config_lib.parse_overrides(FLAGS.set)
     if FLAGS.eval_pattern:
         overrides["eval_pattern"] = FLAGS.eval_pattern
@@ -62,10 +71,15 @@ def main(argv):
         results = evaluator(restored, return_per_class=FLAGS.per_class)
         results["step"] = int(restored.step)
         logging.info("eval results: %s", results)
-        print(json.dumps(results), flush=True)
-        if FLAGS.out_json:
-            with open(FLAGS.out_json, "a") as f:
-                f.write(json.dumps(results) + "\n")
+        # multi-host: every process holds identical gathered results;
+        # only host 0 emits them (a shared out_json would get N copies)
+        import jax
+
+        if jax.process_index() == 0:
+            print(json.dumps(results), flush=True)
+            if FLAGS.out_json:
+                with open(FLAGS.out_json, "a") as f:
+                    f.write(json.dumps(results) + "\n")
         return results
 
     if not FLAGS.follow:

@@ -141,37 +141,47 @@ def make_int8_eval_step(cfg: config_lib.TrainConfig, mesh=None,
     return step_fn
 
 
-def make_eval_input(cfg: config_lib.TrainConfig, spec):
+def make_eval_input(cfg: config_lib.TrainConfig, spec,
+                    shard_by_process: bool = False):
     """Build the eval input iterator per ``cfg.input_pipeline`` (both the
-    tf.data and Grain paths support single- and multi-crop eval)."""
+    tf.data and Grain paths support single- and multi-crop eval).
+
+    ``shard_by_process``: each process reads a disjoint 1/process_count of
+    the split (multi-host sharded eval — evaluate() gathers the partial
+    results collectively afterwards)."""
     from attentionalpoolingaction_tpu.data import pipeline
 
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
     if cfg.input_pipeline == "grain":
         from attentionalpoolingaction_tpu.data import grain_pipeline
+        shard_kw = dict(
+            shard_index=jax.process_index() if shard_by_process else 0,
+            shard_count=jax.process_count() if shard_by_process else 1)
         if multicrop:
             ds = grain_pipeline.make_multicrop_eval_dataset(
                 cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
                 image_size=cfg.image_size,
                 resize_min=cfg.resize_min_resolved,
-                num_crops=cfg.eval_multicrop)
+                num_crops=cfg.eval_multicrop, **shard_kw)
         else:
             ds = grain_pipeline.make_eval_dataset(
                 cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
                 image_size=cfg.image_size,
-                resize_min=cfg.resize_min_resolved)
+                resize_min=cfg.resize_min_resolved, **shard_kw)
         return iter(ds)
     if multicrop:
         return pipeline.make_multicrop_eval_iterator(
             cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
             image_size=cfg.image_size,
             resize_min=cfg.resize_min_resolved,
-            num_crops=cfg.eval_multicrop)
+            num_crops=cfg.eval_multicrop,
+            shard_by_process=shard_by_process)
     return pipeline.make_eval_iterator(
         cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
         image_size=cfg.image_size,
         resize_min=cfg.resize_min_resolved,
-        transfer_uint8=cfg.transfer_uint8)
+        transfer_uint8=cfg.transfer_uint8,
+        shard_by_process=shard_by_process)
 
 
 def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
@@ -193,8 +203,16 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
             step_fn = (make_multicrop_eval_step(model, mesh) if multicrop
                        else make_eval_step(model, mesh))
 
+    # Multi-host sharded eval (VERDICT r2 next #4): when this process is
+    # one of several and builds its own input, it reads a disjoint
+    # 1/process_count of the split, then the partial (logits, labels, ...)
+    # are gathered collectively so every host computes identical metrics —
+    # eval costs 1/process_count instead of every host redundantly
+    # evaluating the full split.  Injected eval_iters (tests, custom
+    # callers) keep the single-host semantics.
+    shard_eval = jax.process_count() > 1 and eval_iter is None
     if eval_iter is None:
-        eval_iter = make_eval_input(cfg, spec)
+        eval_iter = make_eval_input(cfg, spec, shard_by_process=shard_eval)
 
     all_logits, all_labels, all_masks, all_vids = [], [], [], []
     all_annos = []
@@ -210,10 +228,29 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
         if spec.is_video:
             all_vids.append(np.asarray(batch["video_id"]))
 
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
-    mask = np.concatenate(all_masks).astype(bool)
-    logits, labels = logits[mask], labels[mask]
+    def _cat(lst, empty_shape, empty_dtype):
+        # a host's shard can be empty (tiny split, many hosts) — it still
+        # must join the collective gather with correctly-shaped zeros
+        return (np.concatenate(lst) if lst
+                else np.zeros(empty_shape, empty_dtype))
+
+    c = spec.num_classes
+    host = {
+        "logits": _cat(all_logits, (0, c), np.float32),
+        "label": _cat(all_labels, (0, c) if spec.multi_label else (0,),
+                      np.float32 if spec.multi_label else np.int32),
+        "mask": _cat(all_masks, (0,), np.float32),
+    }
+    if all_annos or (shard_eval and spec.multi_label):
+        host["anno"] = _cat(all_annos, (0, c), np.int32)
+    if spec.is_video:
+        host["video_id"] = _cat(all_vids, (0,), np.int32)
+    if shard_eval:
+        from attentionalpoolingaction_tpu.parallel import multihost
+        host = multihost.allgather_host_arrays(host)
+
+    mask = host["mask"].astype(bool)
+    logits, labels = host["logits"][mask], host["label"][mask]
 
     results = {"num_examples": int(mask.sum())}
     if spec.eval_metric == "map":
@@ -231,11 +268,11 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
                 None if np.isnan(a) else float(a) for a in aps]
         if not spec.multi_label:
             results["accuracy"] = metrics_lib.accuracy(labels, logits)
-        if all_annos:
+        if "anno" in host:
             # HICO "Known Object" protocol: per class, drop unknown pairs
             # instead of counting them as negatives.  Records without the
             # anno field parse as all-zero -> nothing known -> skip.
-            anno = np.concatenate(all_annos)[mask]
+            anno = host["anno"][mask]
             if np.any(anno != 0):
                 ko, ko_aps = metrics_lib.mean_average_precision_known(
                     anno, logits)
@@ -244,7 +281,7 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
                     results["per_class_ap_ko"] = [
                         None if np.isnan(a) else float(a) for a in ko_aps]
     else:  # HMDB51: per-video temporal averaging then accuracy
-        vids = np.concatenate(all_vids)[mask]
+        vids = host["video_id"][mask]
         _, avg, vid_labels = metrics_lib.video_average_logits(
             vids, logits, labels)
         results["accuracy"] = metrics_lib.accuracy(vid_labels, avg)

@@ -44,15 +44,104 @@ def setup(coordinator_address: str | None = None,
 
 def assert_same_across_hosts(value: int, name: str = "value") -> None:
     """Cheap cross-host sanity check: all processes must agree on ``value``
-    (e.g. global batch size); uses a psum over a global mesh."""
-    import jax.numpy as jnp
+    (e.g. global batch size); sums each host's contribution over a global
+    1-axis mesh (jit + NamedSharding, like every other collective in the
+    codebase — no legacy pmap)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     if jax.process_count() == 1:
         return
-    total = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
-        jnp.ones((jax.local_device_count(),)) * value)
+    mesh = Mesh(np.asarray(jax.devices()), ("i",))
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("i")),
+        np.full((jax.local_device_count(),), value, np.float32))
+    total = jax.jit(lambda x: x.sum(),
+                    out_shardings=NamedSharding(mesh, P()))(arr)
     expected = value * jax.device_count()
-    if float(total[0]) != expected:
+    if float(total) != expected:
         raise ValueError(
-            f"{name} differs across hosts: psum {float(total[0])} != "
+            f"{name} differs across hosts: sum {float(total)} != "
             f"{expected}")
+
+
+def allgather_host_arrays(arrays: dict) -> dict:
+    """Concatenate per-host numpy arrays (variable length along axis 0)
+    across all processes; the multi-host sharded-eval combiner (VERDICT r2
+    next #4: each host evaluates 1/process_count of the split, results are
+    gathered so every host computes identical metrics).
+
+    COLLECTIVE: every process must call with the same keys and dtypes.
+    Per-host row counts may differ (shard remainders): rows are padded to
+    the max count before the gather, so callers MUST carry a ``mask`` key
+    (1.0 = real row) — padding rows arrive with mask 0 and drop out in the
+    caller's mask filter.  Single-process: identity."""
+    if jax.process_count() == 1:
+        return arrays
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    n = int(next(iter(arrays.values())).shape[0])
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n]), tiled=True))
+    m = int(counts.max())
+    out = {}
+    for k in sorted(arrays):      # deterministic collective order
+        v = np.asarray(arrays[k])
+        if m > n:
+            v = np.pad(v, [(0, m - n)] + [(0, 0)] * (v.ndim - 1))
+        out[k] = np.asarray(multihost_utils.process_allgather(
+            v, tiled=True))
+    return out
+
+
+def allreduce_flag(flag: bool) -> bool:
+    """Cross-host OR of a python bool (max over a global mesh).  Blocking
+    variant of :class:`FlagAllReduce` for one-shot checks."""
+    r = FlagAllReduce()
+    return r.read(r.dispatch(flag))
+
+
+class FlagAllReduce:
+    """Non-blocking cross-host OR of a per-host python bool.
+
+    Used to agree on preemption stop across hosts: async step dispatch
+    lets the python loops drift a step apart, so each host's local
+    SIGTERM flag must be combined collectively before anyone checkpoints,
+    or hosts would enter the collective Orbax save at different steps and
+    deadlock the pod (ADVICE r2 train.py:446).
+
+    Protocol: every host calls ``dispatch(local_flag)`` at every step (the
+    collective enqueues asynchronously, preserving the step pipeline) and
+    reads the PREVIOUS step's result with ``read`` — a one-step-delayed
+    but host-consistent value, so every process observes the stop at the
+    same step number.  Single-process: dispatch/read degrade to the plain
+    flag with no device work."""
+
+    def __init__(self):
+        self._single = jax.process_count() == 1
+        if not self._single:
+            import numpy as np
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            self._mesh = Mesh(np.asarray(jax.devices()), ("i",))
+            self._in = NamedSharding(self._mesh, P("i"))
+            self._sum = jax.jit(
+                lambda x: x.max(),
+                out_shardings=NamedSharding(self._mesh, P()))
+
+    def dispatch(self, flag: bool):
+        if self._single:
+            return flag
+        import numpy as np
+
+        arr = jax.make_array_from_process_local_data(
+            self._in, np.full((jax.local_device_count(),), float(flag),
+                              np.float32))
+        return self._sum(arr)
+
+    def read(self, handle) -> bool:
+        if self._single:
+            return bool(handle)
+        return bool(float(handle) > 0)

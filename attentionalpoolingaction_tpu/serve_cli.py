@@ -31,6 +31,9 @@ flags.DEFINE_string("workdir", None, "run dir containing checkpoints/")
 flags.DEFINE_integer("port", 8800, "HTTP port")
 flags.DEFINE_string("host", "127.0.0.1", "bind address")
 flags.DEFINE_bool("int8", False, "serve the quantized BN-folded path")
+flags.DEFINE_bool("data_parallel", False,
+                  "shard each batch across all local devices "
+                  "(multi-chip hosts; buckets round up to chip multiples)")
 flags.DEFINE_multi_string(
     "calibration_images", [],
     "representative images for static int8 activation scales "
@@ -83,11 +86,14 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            import time
+            t_start = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 if self.path == "/predict":
                     res = batcher.submit(body).result(timeout=60)
+                    stats.observe_latency(time.monotonic() - t_start)
                     # per-item decode failures come back as {"error": ...}
                     # (Predictor.predict_bytes) -> client error for THIS
                     # request only; concurrent batch-mates are unaffected
@@ -105,6 +111,7 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                         return
                     futs = [batcher.submit(b) for b in blobs]
                     results = [f.result(timeout=60) for f in futs]
+                    stats.observe_latency(time.monotonic() - t_start)
                     for r in results:
                         stats.inc("serving_requests_total"
                                   if "error" not in r
@@ -132,7 +139,8 @@ def main(argv):
     predictor = serving.load_predictor(
         cfg, step=FLAGS.step, int8=FLAGS.int8,
         buckets=[int(b) for b in FLAGS.buckets],
-        calibration_files=FLAGS.calibration_images)
+        calibration_files=FLAGS.calibration_images,
+        data_parallel=FLAGS.data_parallel)
     logging.info("compiling %s buckets...", predictor.buckets)
     predictor.warmup()
     server = make_server(predictor, FLAGS.host, FLAGS.port, FLAGS.topk,

@@ -191,6 +191,14 @@ def create_state(cfg: config_lib.TrainConfig, *, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.key(cfg.seed)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
+    if cfg.freeze_bn and not cfg.init_checkpoint:
+        # frozen BN normalizes with the RUNNING stats; without a
+        # pretrained init those are the (0, 1) init values — legal (tests,
+        # scratch experiments) but almost never what a real run wants
+        log.warning(
+            "freeze_bn=True with no init_checkpoint: BN will normalize "
+            "with init-value running stats; the fine-tune presets expect "
+            "an ImageNet/slim init_checkpoint")
     if cfg.init_checkpoint:
         # fine-tune init, new-head scopes excluded — the reference's
         # _get_init_fn (SURVEY.md section 3.1 step 8).  Two formats:
@@ -347,10 +355,19 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             stateful_iter = train_iter
         else:
             if spec.is_video and cfg.video_frame_sampling:
-                log.warning(
-                    "per-epoch video frame sampling requires "
-                    "input_pipeline='grain'; the tf.data pipeline "
-                    "iterates the pre-extracted frames directly")
+                # hard gate, not a warning: silently iterating the
+                # pre-extracted frames is a different training protocol
+                # than per-epoch random-frame sampling (the reference-era
+                # HMDB recipe) — a config must not drift protocols
+                # behind a log line (VERDICT r2 next #7)
+                raise ValueError(
+                    "video_frame_sampling=True (per-epoch random frame "
+                    "per video — the HMDB training protocol) requires "
+                    "input_pipeline='grain'.  Either use the grain "
+                    "pipeline or set video_frame_sampling=False to "
+                    "train on the pre-extracted frames directly "
+                    "(a PROTOCOL CHANGE: every stored frame is visited "
+                    "each epoch instead of one random frame per video)")
             train_iter = pipeline.make_train_iterator(
                 cfg.train_pattern, spec, batch_size=host_batch,
                 image_size=cfg.image_size,
@@ -429,6 +446,14 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     t0 = time.time()
     start_step = int(state.step)
     step = start_step
+    # Multi-host stop agreement (ADVICE r2 train.py:446): each host's
+    # SIGTERM flag is host-local and async dispatch lets python loops
+    # drift, so hosts must agree collectively on WHICH step to stop at —
+    # a one-step-delayed all-reduce keeps the pipeline async while
+    # guaranteeing every process checkpoints the same step.
+    from attentionalpoolingaction_tpu.parallel import multihost
+    flag_reduce = multihost.FlagAllReduce()
+    pending_flag = flag_reduce.dispatch(False)
     try:
         for _ in range(max(num_steps - start_step, 0)):
             batch = next(train_iter)
@@ -442,8 +467,15 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             for hook in hooks:
                 hook(step, state, metrics)
             # read the stop flag AFTER hooks so a stop raised during this
-            # step (signal or hook) checkpoints THIS step, not the next
-            stopping = stop_event.is_set()
+            # step (signal or hook) checkpoints THIS step, not the next.
+            # Single-host: the local flag directly (no delay).  Multi-host:
+            # the agreed value from LAST step's dispatch (host-consistent).
+            local_flag = stop_event.is_set()
+            if jax.process_count() == 1:
+                stopping = local_flag
+            else:
+                stopping = flag_reduce.read(pending_flag)
+                pending_flag = flag_reduce.dispatch(local_flag)
             if checkpoint_manager is not None and (
                     step % cfg.checkpoint_every == 0 or step == num_steps
                     or stopping):

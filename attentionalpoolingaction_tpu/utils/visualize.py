@@ -65,10 +65,37 @@ def make_attention_summary_hook(cfg, writer, every: int,
     model = train_lib.build_model(cfg)
     probe: dict = {}
 
+    def _host_variables(state):
+        """Host-side {params, batch_stats} usable by an eager model.apply.
+
+        On multi-host runs with tensor parallelism the live train state is
+        sharded over the global mesh and NOT fully addressable from one
+        process — an eager apply would crash the training run (ADVICE r2
+        visualize.py:85).  All processes collectively gather the full
+        values (process_allgather is a collective — every host must call
+        it), then only process 0 renders/writes."""
+        import jax
+
+        leaves = jax.tree.leaves((state.params, state.batch_stats))
+        if all(getattr(x, "is_fully_addressable", True) for x in leaves):
+            return {"params": state.params,
+                    "batch_stats": state.batch_stats}
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            tiled=True)
+        return gathered
+
     def hook(step, state, metrics):
         del metrics
         if every <= 0 or step % every:
             return
+        import jax
+
+        variables = _host_variables(state)
+        if jax.process_index() != 0:
+            return      # gather was collective; only host 0 writes
         if "images" not in probe:
             cfg_probe = cfg
             if not cfg.eval_pattern:
@@ -82,9 +109,7 @@ def make_attention_summary_hook(cfg, writer, every: int,
                 imgs = imgs[:, 0]
             probe["images"] = np.asarray(
                 train_lib.normalize_images(jnp.asarray(imgs)), np.float32)
-        out = attention_overlays(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats}, probe["images"])
+        out = attention_overlays(model, variables, probe["images"])
         writer.write_images(step, {
             "attention/top_down": np.stack(out["top_down"]),
             "attention/saliency": np.stack(out["saliency"]),

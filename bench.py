@@ -1,19 +1,28 @@
-"""Benchmark: ResNet-101 + rank-1 attentional-pooling inference throughput
+"""Benchmark: ResNet-101 + rank-1 attentional-pooling throughput
 (images/sec/chip) — BASELINE.json's north-star metric ("sustain >5x
 A100-class images/sec/chip on v5e").
 
 Runs on whatever backend `jax.devices()` provides (the driver runs it on the
-real TPU chip).  bf16 backbone, f32 head accumulation, batch swept for best
-throughput.  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+real TPU chip).  bf16 backbone, f32 head accumulation.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   ... 448px fields ..., "vs_last_round": N}
 
-vs_baseline: the reference published no throughput (SURVEY.md section 6), so
-the baseline is the BASELINE.json target itself: 5x an A100-class ResNet-101
-inference rate (~1300 img/s at 224px bf16/TF32 => target 6500 img/s);
-vs_baseline = value / 6500.
+Two operating points are tracked per round (VERDICT r2 next #3):
+  * 224px — the north-star inference point (BASELINE.json: 5x an
+    A100-class ResNet-101 rate, ~1300 img/s => target 6500 img/s;
+    vs_baseline = value / 6500), plus train and int8 rates;
+  * 448px — where the paper's HICO / MPII-pose configs actually run
+    (BASELINE.json configs #2/#3/#5 are all >=448px), so regressions at
+    the paper's operating point are visible per round.
+
+vs_last_round compares the 224px forward against the newest BENCH_r*.json
+in the repo root (driver-written); < 0.95 flags a regression in the note.
 """
 
+import glob
 import json
+import os
+import re
 import time
 
 import jax
@@ -25,20 +34,7 @@ from attentionalpoolingaction_tpu.models.factory import get_model
 TARGET_IMG_S = 6500.0  # 5x A100-class (~1300 img/s) per BASELINE.json
 
 
-def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
-                  use_pallas=False):  # flip to True once the Pallas kernel lands
-    model = get_model("resnet_v1_101", num_classes=393, pooling="attention",
-                      rank=1, dtype=jnp.bfloat16, use_pallas=use_pallas)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(size=(batch_size, image_size, image_size, 3)),
-        jnp.bfloat16)
-    variables = model.init(jax.random.key(0), images[:1], train=False)
-
-    @jax.jit
-    def fwd(images):
-        return model.apply(variables, images)["logits"]
-
+def _time_fwd(fwd, images, steps, warmup):
     # sync via a D2H value fetch: through the axon tunnel,
     # block_until_ready alone can ack before device completion
     float(fwd(images)[0, 0])
@@ -49,19 +45,37 @@ def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
     for _ in range(steps):
         out = fwd(images)
     float(out[0, 0])
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return len(images) * steps / (time.perf_counter() - t0)
 
 
-def bench_int8(batch_size=256, image_size=224, steps=20, warmup=5):
+def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
+                  num_classes=393, use_pallas=False):
+    model = get_model("resnet_v1_101", num_classes=num_classes,
+                      pooling="attention", rank=1, dtype=jnp.bfloat16,
+                      use_pallas=use_pallas)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(batch_size, image_size, image_size, 3)),
+        jnp.bfloat16)
+    variables = model.init(jax.random.key(0), images[:1], train=False)
+
+    @jax.jit
+    def fwd(images):
+        return model.apply(variables, images)["logits"]
+
+    return _time_fwd(fwd, images, steps, warmup)
+
+
+def bench_int8(batch_size=256, image_size=224, steps=20, warmup=5,
+               num_classes=393):
     """Quantized serving path (models/inference.py): BN-folded backbone,
     per-channel int8 weights, calibrated static activation scales.
-    Measured 10,271 img/s at B256 on v5e (1.28x bf16) with logit cosine
-    0.9999 vs the bf16 forward (scripts/tpu_int8_bench.py)."""
+    Measured 10,271 img/s at B256/224px on v5e (1.28x bf16) with logit
+    cosine 0.9999 vs the bf16 forward (scripts/tpu_int8_bench.py)."""
     from attentionalpoolingaction_tpu.models import inference as inf
 
-    model = get_model("resnet_v1_101", num_classes=393, pooling="attention",
-                      rank=1, dtype=jnp.bfloat16)
+    model = get_model("resnet_v1_101", num_classes=num_classes,
+                      pooling="attention", rank=1, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.normal(size=(batch_size, image_size, image_size, 3)),
@@ -79,29 +93,23 @@ def bench_int8(batch_size=256, image_size=224, steps=20, warmup=5):
         return inf.folded_forward(q, head, images, act_scales=act_scales,
                                   dtype=jnp.bfloat16)["logits"]
 
-    float(fwd(images)[0, 0])  # compile + D2H sync (see bench_forward)
-    for _ in range(warmup):
-        out = fwd(images)
-    float(out[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fwd(images)
-    float(out[0, 0])
-    return batch_size * steps / (time.perf_counter() - t0)
+    return _time_fwd(fwd, images, steps, warmup)
 
 
-def bench_train(batch_size=128, image_size=224, steps=20):
-    """Full train step (fwd + bwd + clip + SGD + BN stat updates) on the
-    MPII ResNet-101 rank-1 config — the reference's actual workload.
-    HBM-bandwidth-bound on v5e (see ARCHITECTURE.md roofline)."""
+def bench_train(batch_size=128, image_size=224, steps=20, dataset="mpii",
+                freeze_bn=False):
+    """Full train step (fwd + bwd + clip + SGD + BN stat updates unless
+    freeze_bn) — the reference's actual workload.  HBM-bandwidth-bound on
+    v5e (see ARCHITECTURE.md roofline)."""
     from attentionalpoolingaction_tpu import train as train_lib
     from attentionalpoolingaction_tpu.config import TrainConfig
     from attentionalpoolingaction_tpu.data.datasets import get_dataset
 
-    cfg = TrainConfig(dataset="mpii", backbone="resnet_v1_101",
+    cfg = TrainConfig(dataset=dataset, backbone="resnet_v1_101",
                       pooling="attention", image_size=image_size,
                       batch_size=batch_size, learning_rate=1e-3,
-                      grad_clip_norm=10.0, lr_schedule="constant")
+                      grad_clip_norm=10.0, lr_schedule="constant",
+                      freeze_bn=freeze_bn)
     spec = get_dataset(cfg.dataset)
     state, _, model, tx = train_lib.create_state(cfg)
     step_fn = train_lib.make_train_step(model, spec, cfg, tx)
@@ -109,13 +117,17 @@ def bench_train(batch_size=128, image_size=224, steps=20):
     batch = {
         "image": jnp.asarray(rng.normal(
             size=(batch_size, image_size, image_size, 3)), jnp.float32),
-        "label": jnp.asarray(rng.integers(0, spec.num_classes, batch_size),
-                             jnp.int32),
         "transform": jnp.tile(jnp.asarray([1., 1., 0., 0., 0.]),
                               (batch_size, 1)),
     }
+    if spec.multi_label:
+        batch["label"] = jnp.asarray(
+            rng.integers(0, 2, (batch_size, spec.num_classes)), jnp.float32)
+    else:
+        batch["label"] = jnp.asarray(
+            rng.integers(0, spec.num_classes, batch_size), jnp.int32)
     state, m = step_fn(state, batch)
-    float(m["loss/total"])  # D2H sync (see bench_forward)
+    float(m["loss/total"])  # D2H sync (see _time_fwd)
     for _ in range(3):
         state, m = step_fn(state, batch)
     float(m["loss/total"])
@@ -123,53 +135,82 @@ def bench_train(batch_size=128, image_size=224, steps=20):
     for _ in range(steps):
         state, m = step_fn(state, batch)
     float(m["loss/total"])
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return batch_size * steps / (time.perf_counter() - t0)
+
+
+def _try(fn, **kw):
+    try:
+        return round(fn(**kw), 1)
+    except Exception:
+        import traceback
+        traceback.print_exc()  # keep the JSON line clean, lose nothing
+        return None
+
+
+def _last_round_value():
+    """Newest driver-written BENCH_r*.json's 224px forward value."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = (None, -1)
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best[1]:
+            best = (p, n)
+    if best[0] is None:
+        return None
+    try:
+        parsed = json.load(open(best[0])).get("parsed") or {}
+        return float(parsed.get("value"))
+    except (ValueError, TypeError, OSError):
+        return None
 
 
 def main():
     platform = jax.devices()[0].platform
-    best = 0.0
-    best_bs = 0
-    # b512 measured best on v5e (b256 ~9000, b1024 7338 img/s); one size
-    # keeps the driver's bench run short
-    sizes = [512] if platform != "cpu" else [8]
-    for bs in sizes:
-        try:
-            rate = bench_forward(batch_size=bs)
-        except Exception:
-            continue
-        if rate > best:
-            best, best_bs = rate, bs
-    try:
-        train_rate = bench_train(
-            batch_size=128 if platform != "cpu" else 4)
-    except Exception:
-        import traceback
-        traceback.print_exc()  # keep the JSON line clean, lose nothing
-        train_rate = None
-    try:
-        int8_rate = bench_int8(
-            batch_size=256 if platform != "cpu" else 8)
-    except Exception:
-        import traceback
-        traceback.print_exc()
-        int8_rate = None
+    on_tpu = platform != "cpu"
+    # b512 measured best on v5e at 224px (b256 ~9000, b1024 7338 img/s);
+    # one size keeps the driver's bench run short
+    fwd = _try(bench_forward, batch_size=512 if on_tpu else 8)
+    train_rate = _try(bench_train, batch_size=128 if on_tpu else 4)
+    int8_rate = _try(bench_int8, batch_size=256 if on_tpu else 8)
+    # paper-scale operating point (HICO 600-class, 448px)
+    fwd448 = _try(bench_forward, batch_size=128 if on_tpu else 2,
+                  image_size=448 if on_tpu else 64, num_classes=600,
+                  steps=10)
+    train448 = _try(bench_train, batch_size=32 if on_tpu else 2,
+                    image_size=448 if on_tpu else 64, dataset="hico",
+                    steps=10, freeze_bn=True)
+    int8_448 = _try(bench_int8, batch_size=64 if on_tpu else 2,
+                    image_size=448 if on_tpu else 64, num_classes=600,
+                    steps=10)
+
+    last = _last_round_value()
+    vs_last = round(fwd / last, 3) if (fwd and last) else None
+    note = None
+    if vs_last is not None and vs_last < 0.95:
+        note = (f"REGRESSION: 224px fwd {fwd} is {vs_last}x last round's "
+                f"{last}")
     print(json.dumps({
         "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"
-                  f"_224px_bf16_b{best_bs}_{platform}",
-        "value": round(best, 1),
+                  f"_224px_bf16_b{512 if on_tpu else 8}_{platform}",
+        "value": fwd,
         "unit": "images/sec/chip",
-        "vs_baseline": round(best / TARGET_IMG_S, 3),
+        "vs_baseline": round(fwd / TARGET_IMG_S, 3) if fwd else None,
         # the reference's actual workload (fwd+bwd+SGD, BN updating),
-        # B128 224px bf16 — tracked per round alongside the inference
-        # north-star (VERDICT r1 "What's weak" #1)
-        "train_images_per_sec_per_chip":
-            round(train_rate, 1) if train_rate else None,
-        # quantized serving path (BN-folded + per-channel int8, B256) —
-        # 1.28x the bf16 forward on v5e, logit-cos 0.9999
-        "int8_images_per_sec_per_chip":
-            round(int8_rate, 1) if int8_rate else None,
+        # B128 224px bf16 (VERDICT r1 weak #1)
+        "train_images_per_sec_per_chip": train_rate,
+        # quantized serving path (BN-folded + per-channel int8, B256)
+        "int8_images_per_sec_per_chip": int8_rate,
+        # paper-scale (448px HICO) operating point (VERDICT r2 next #3);
+        # train448 uses freeze_bn (the reference fine-tune recipe, now the
+        # presets' default at 448px)
+        "fwd448_images_per_sec_per_chip": fwd448,
+        "train448_images_per_sec_per_chip": train448,
+        "int8_448_images_per_sec_per_chip": int8_448,
+        "vs_last_round": vs_last,
+        "regression_note": note,
     }))
 
 

@@ -276,3 +276,34 @@ def test_video_index_sidecar_cache(tmp_path):
     rebuilt = gp.build_video_index(native_io.TFRecordDataSource(path), spec)
     assert sorted(rebuilt) == [0, 1, 2], sorted(rebuilt)
     assert json.loads(sidecar.read_text())["video_ids"] != [9] * 8
+
+
+def test_video_index_sidecar_same_second_rewrite(tmp_path):
+    """A record file rewritten with IDENTICAL size within the same second
+    must still invalidate the sidecar (key uses st_mtime_ns, not seconds —
+    ADVICE r2)."""
+    import json
+    import os
+
+    from attentionalpoolingaction_tpu.data import grain_pipeline as gp
+
+    path = str(tmp_path / "t.tfrecord")
+    spec = get_dataset("hmdb51")
+    rec.write_synthetic_dataset(path, spec, 8, image_size=60, seed=0,
+                                frames_per_video=4)
+    src = native_io.TFRecordDataSource(path)
+    gp.build_video_index(src, spec)
+    sidecar = tmp_path / "t.tfrecord.vidx.json"
+    st = os.stat(path)
+
+    # byte-identical-size rewrite, stamped into the SAME second (ns + 1)
+    data = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    # poison the sidecar: if the key wrongly matches, the poison survives
+    cached = json.loads(sidecar.read_text())
+    cached["video_ids"] = [9] * 8
+    sidecar.write_text(json.dumps(cached))
+    rebuilt = gp.build_video_index(native_io.TFRecordDataSource(path), spec)
+    assert sorted(rebuilt) == [0, 1], sorted(rebuilt)

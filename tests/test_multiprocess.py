@@ -49,6 +49,15 @@ from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
 
 multihost.assert_same_across_hosts(7, "smoke")
 
+# --- cross-host stop agreement (preemption sync, ADVICE r2) ---
+r = multihost.FlagAllReduce()
+h = r.dispatch(proc_id == 0)       # only host 0 raises the flag
+assert r.read(h) is True           # ...but BOTH hosts observe it
+h = r.dispatch(False)
+assert r.read(h) is False
+assert multihost.allreduce_flag(proc_id == 1) is True
+assert multihost.allreduce_flag(False) is False
+
 # --- global mesh over both processes' devices ---
 mesh = mesh_lib.make_mesh((2,), ("data",))
 
@@ -133,6 +142,23 @@ m = eval_lib.mesh_from_config(cfg)
 # the 2-process global devices (which would crash the numpy fetch)
 assert m is None, m
 
+# --- multi-host SHARDED eval: each host reads half the split, results
+# are gathered, metrics must equal the single-process run bit-for-bit ---
+ecfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                  pooling="attention", image_size=32, resize_min=36,
+                  bf16_backbone=False, learning_rate=1e-3,
+                  grad_clip_norm=10.0, lr_schedule="constant",
+                  eval_batch_size=2, seed=0,
+                  eval_pattern=tmp + "/train.tfrecord")
+# this host's shard really is half the split
+shard_it = eval_lib.make_eval_input(ecfg, spec, shard_by_process=True)
+n_local = sum(int(b["mask"].sum()) for b in shard_it)
+assert n_local == 4, n_local
+estate, _, _, _ = train_lib.create_state(ecfg)
+res = eval_lib.evaluate(ecfg, estate)
+assert res["num_examples"] == 8, res     # gathered across both hosts
+print(f"EVAL mAP={res['mAP']!r} acc={res['accuracy']!r}")
+
 print(f"WORKER{proc_id} OK")
 """
 
@@ -181,3 +207,26 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER{i} OK" in out, out
+
+    # sharded 2-process eval must equal the single-process eval bit-for-bit
+    # (VERDICT r2 next #4) — compute the reference here (process_count=1)
+    import re
+
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+    from attentionalpoolingaction_tpu.config import TrainConfig
+
+    ecfg = TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                       pooling="attention", image_size=32, resize_min=36,
+                       bf16_backbone=False, learning_rate=1e-3,
+                       grad_clip_norm=10.0, lr_schedule="constant",
+                       eval_batch_size=2, seed=0,
+                       eval_pattern=str(tmp_path / "train.tfrecord"))
+    estate, _, _, _ = train_lib.create_state(ecfg)
+    expected = eval_lib.evaluate(ecfg, estate)
+    for out in outs:
+        m = re.search(r"EVAL mAP=([\d.e+-]+) acc=([\d.e+-]+)", out)
+        assert m, out
+        assert abs(float(m.group(1)) - expected["mAP"]) < 1e-12, (
+            m.group(1), expected["mAP"])
+        assert abs(float(m.group(2)) - expected["accuracy"]) < 1e-9
