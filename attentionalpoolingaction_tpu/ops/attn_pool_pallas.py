@@ -21,30 +21,48 @@ Layout notes (hard-won on v5e):
   * no in-kernel reshape of (BT, N, F) to (BT*N, F): N % 8 != 0 forces a
     relayout copy.
 
-PERF STATUS — PARKED (decision 2026-08-16, round 2; VERDICT r1 item 5):
-measured with a validated harness (loop-carried 1-element perturbation so
-XLA cannot eliminate/hoist the op, device time read from the profiler's
-XLA-module clock — scripts/tpu_checks.py::timeit documents why everything
-simpler lies through the axon tunnel), on v5e:
+PERF STATUS — RETIRED as a perf path (round 3; was PARKED round 2 —
+VERDICT r1 item 5, r2 item 9).  Kept, tested, and flag-gated off
+(use_pallas=False) as the explicitly-scheduled variant with a
+deterministic VMEM budget, a free saliency-map output, and the
+interpret-mode sanitizer the test suite uses.
+
+Measured round 2 with a validated harness (loop-carried 1-element
+perturbation so XLA cannot eliminate/hoist the op, device time read from
+the profiler's XLA-module clock — scripts/tpu_checks.py::timeit documents
+why everything simpler lies through the axon tunnel), on v5e:
 
     B64  N196 F2048 C600 P1: fused  84us  einsum 49us  (0.58x)
     B64  N196 F2048 C600 P5: fused  81us  einsum 36us  (0.45x)
     B256 N49  F2048 C393 P1: fused 156us  einsum 67us  (0.43x)
 
-Round-1's "0.85-1.19x, noise-level" numbers were a measurement artifact
-(fixed ~30 ms dispatch RTT divided by the iteration count).  The einsum
-path wins because XLA keeps the 51 MB X operand VMEM-resident across
-consumers and pipelines the three skinny matmuls better than this
-kernel's explicit grid (whose in_specs force an HBM round-trip per block).
-The in-kernel class projection (fused_pool_logits, below) was built and
-measured as VERDICT r1 asked; it does not close the gap — the v round-trip
-it saves is ~1% of the X traffic.  Per the r1 acceptance gate (>=1.3x or
-park), this kernel is PARKED: correct, tested (interpret mode + compiled-
-Mosaic vs oracle), flag-gated off by default (use_pallas=False), kept as
-the explicitly-scheduled variant with a deterministic VMEM budget and a
-free saliency-map output.  The head is ~2% of an end-to-end train step
-either way; further investment goes to the data path and the backbone
-(see ARCHITECTURE.md roofline).
+Retirement rationale (the round-3 "one last design or retire" decision,
+made on arithmetic rather than another build):
+
+1. The op is memory-floor-bound and XLA is AT the floor.  At rank P the
+   head's arithmetic intensity is ~2P FLOP per X byte (P<=8), orders of
+   magnitude under the MXU/HBM balance point, so the lower bound is one
+   HBM read of X.  B64xN196xF2048 bf16 is 51 MB; at v5e's ~1 TB/s
+   effective that is ~50 us — exactly the measured einsum time (49 us).
+   There is NO headroom for any same-interface kernel to win; a perfect
+   Pallas kernel can only tie.
+2. The two designs that could beat the floor both move the fusion
+   boundary INTO the backbone, not into this kernel:
+   (a) input_output_aliasing / persistent-VMEM X requires X's PRODUCER
+       (block4's last conv) in the same kernel — i.e. hand-writing a
+       3x3x2048 conv in Pallas that must first match XLA's conv codegen
+       before any fusion profit;
+   (b) emitting s/v from the backbone epilogue saves X's HBM write+read
+       (~0.25 ms at B512 224px) = ~0.4% of the forward pass and ~0.2% of
+       a train step — bounded so low because the backbone dominates.
+   Expected gain is percent-fractions; the risk (a bespoke conv) is the
+   whole model's hot path.  SURVEY.md section 2.2's intent ("never
+   materialize the n x C attention maps") is already delivered by the
+   factorized einsum, which IS the production path.
+3. Per the r1 acceptance gate (>=1.3x or park) and the r2 instruction
+   (only revisit with a floor-beating design), the kernel is retired
+   from perf work; it remains the correctness oracle's third
+   implementation and the VMEM-deterministic fallback.
 
 Shapes (MPII/HICO scale): N = 49..225 spatial positions, F = 2048 channels
 (16 x 128 lanes — aligned), C <= 600 classes, P = rank <= 8.

@@ -260,6 +260,30 @@ def test_http_server_end_to_end(predictor):
         t.join(timeout=5)
 
 
+def test_data_parallel_int8_predictor():
+    """int8 (BN-folded quantized) serving composes with data_parallel:
+    the quantized weight pytree replicates across the local mesh and
+    probabilities match the single-device int8 predictor."""
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    imgs = np.random.default_rng(4).normal(
+        0, 64.0, size=(5, 64, 64, 3)).astype(np.float32)
+    p1 = serving.Predictor(cfg, variables["params"],
+                           variables["batch_stats"], buckets=(8,),
+                           int8=True, calibration_images=imgs)
+    pdp = serving.Predictor(cfg, variables["params"],
+                            variables["batch_stats"], buckets=(8,),
+                            int8=True, calibration_images=imgs,
+                            data_parallel=True)
+    assert pdp.mesh is not None
+    np.testing.assert_allclose(pdp.predict_arrays(imgs),
+                               p1.predict_arrays(imgs),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_int8_predictor_close_to_float():
     cfg = _tiny_cfg()
     model = ActionModel(num_classes=393, backbone=cfg.backbone,
