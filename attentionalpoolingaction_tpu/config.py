@@ -56,10 +56,17 @@ class TrainConfig:
     # match the last CONSUMED batch, so batches can't be queued on device);
     # grain checkpoints its iterator natively without this tradeoff.
     tfdata_checkpoint: bool = False
-    # video datasets (HMDB51) + grain: per-epoch random-frame sampling at
-    # the video level (each epoch = one fresh frame per video); False
-    # iterates the pre-extracted frames directly
+    # video datasets (HMDB51): per-epoch random-frame sampling at the
+    # video level (each epoch = one fresh frame per video — the
+    # reference-era protocol).  Both pipelines implement it (grain via
+    # the random-access video index; tfdata via group_by_window); False
+    # iterates the pre-extracted frames directly (a protocol change)
     video_frame_sampling: bool = True
+    # persistent XLA compilation cache (jax_compilation_cache_dir): a
+    # preemption restart re-jits the train step from the on-disk cache in
+    # seconds instead of recompiling (~30-40s per program on TPU) — set
+    # this for production runs; None leaves JAX's default behavior
+    compilation_cache_dir: str | None = None
     # run
     batch_size: int = 8                 # global batch
     num_steps: int = 100_000

@@ -62,6 +62,7 @@ def _to_features(parsed, spec: DatasetSpec, *, image_size, is_training,
         out["visibility"] = parsed["image/pose/visibility"]
     if spec.is_video:
         out["video_id"] = tf.cast(parsed["video/id"], tf.int32)
+        out["frame"] = tf.cast(parsed["video/frame"], tf.int32)
     return out
 
 
@@ -153,6 +154,63 @@ def make_train_iterator(file_pattern, spec: DatasetSpec, *,
         opts = tf.data.Options()
         opts.experimental_symbolic_checkpoint = True
         return CheckpointableTfIterator(ds.with_options(opts))
+    return ds.as_numpy_iterator()
+
+
+def make_video_train_iterator(file_pattern, spec: DatasetSpec, *,
+                              batch_size: int, image_size: int,
+                              resize_min: int | None = None,
+                              resize_max: int | None = None,
+                              seed: int = 0,
+                              shard_by_process: bool = True,
+                              transfer_uint8: bool = False,
+                              max_frames_per_video: int = 64
+                              ) -> Iterator[dict]:
+    """Per-epoch random-frame-per-video training iterator (tf.data).
+
+    Protocol parity with grain_pipeline.make_video_train_dataset (the
+    reference-era HMDB recipe — SURVEY.md section 1 L2 "HMDB adds frame
+    sampling"): every epoch visits each video once in a fresh shuffle and
+    draws ONE random frame from its stored frames, so frame selection
+    varies across epochs.
+
+    Mechanics: TFRecords are sequential (random access lives in the Grain
+    path), so each epoch READS all stored frames and `group_by_window`
+    keeps one random frame per video (window = all of a video's frames,
+    flushed at epoch end; the in-window `shuffle().take(1)` redraws every
+    epoch).  Reading frames_per_video x the consumed bytes per epoch is
+    acceptable at HMDB51 scale; prefer Grain for bigger corpora.  Frame
+    draws use TF's stateful RNG: fresh each epoch, not reproducible
+    across runs (Grain's seeded path is).
+
+    Multi-host sharding is by VIDEO id (not record round-robin) so each
+    video lives on exactly one host — the grain path's semantics."""
+    import tensorflow as tf
+
+    resize_min = resize_min or image_size
+    resize_max = resize_max or int(resize_min * 512 / 256)
+    ds = _base_dataset(file_pattern, spec, shuffle=False, seed=seed,
+                       shard_by_process=False)
+    if shard_by_process and jax.process_count() > 1:
+        n = jax.process_count()
+        i = jax.process_index()
+        ds = ds.filter(lambda p: p["video/id"] % n == i)
+    ds = ds.group_by_window(
+        key_func=lambda p: p["video/id"],
+        reduce_func=lambda key, win: win.shuffle(
+            max_frames_per_video).take(1),
+        window_size=max_frames_per_video)
+    # video visit order: fresh shuffle each epoch (reshuffle default)
+    ds = ds.shuffle(2048, seed=seed)
+    ds = ds.repeat()
+    ds = ds.map(
+        lambda p: _to_features(p, spec, image_size=image_size,
+                               is_training=True, resize_min=resize_min,
+                               resize_max=resize_max,
+                               transfer_uint8=transfer_uint8),
+        num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_size, drop_remainder=True)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds.as_numpy_iterator()
 
 

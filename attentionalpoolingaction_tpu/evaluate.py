@@ -194,6 +194,9 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
     spec = get_dataset(cfg.dataset)
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
     if step_fn is None:
+        from attentionalpoolingaction_tpu.train import (
+            setup_compilation_cache)
+        setup_compilation_cache(cfg)
         if mesh is None:
             mesh = mesh_from_config(cfg)
         if cfg.eval_int8:
@@ -298,6 +301,9 @@ class Evaluator:
     A fresh input iterator is built per call (eval is one pass)."""
 
     def __init__(self, cfg: config_lib.TrainConfig, mesh=None):
+        from attentionalpoolingaction_tpu.train import (
+            setup_compilation_cache)
+        setup_compilation_cache(cfg)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
         mesh = self.mesh

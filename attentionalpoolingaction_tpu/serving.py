@@ -378,7 +378,9 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
     inference (slightly slower, but never clips on ranges a synthetic
     calibration set failed to cover)."""
     from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+    from attentionalpoolingaction_tpu.train import setup_compilation_cache
 
+    setup_compilation_cache(cfg)
     mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
     restored = ckpt_lib.restore_for_eval(mgr, step=step)
     if restored is None:

@@ -37,6 +37,20 @@ class TrainState:
     opt_state: Any
 
 
+def setup_compilation_cache(cfg: config_lib.TrainConfig) -> None:
+    """Enable JAX's persistent compilation cache when the config asks for
+    one: a preemption restart (or eval_cli --follow restart) then reloads
+    the train/eval executables from disk in seconds instead of paying the
+    ~30-40s TPU compile again.  Threshold overrides make even quick
+    programs cacheable (the defaults skip sub-second compiles)."""
+    if not cfg.compilation_cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir",
+                      cfg.compilation_cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def feature_size(image_size: int) -> int:
     """Output spatial size of the stride-32 ResNet-v1 tail (five ceil-div-2
     stages: conv1/2, pool/2, block1/2, block2/2, block3/2; block4 stride 1)."""
@@ -303,6 +317,7 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     current step and returns cleanly (preemption-safe shutdown)."""
     from attentionalpoolingaction_tpu.data import pipeline
 
+    setup_compilation_cache(cfg)
     state, spec, model, tx = create_state(cfg)
     mesh = None
     if len(jax.devices()) > 1 and cfg.mesh_shape and (
@@ -355,28 +370,34 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             stateful_iter = train_iter
         else:
             if spec.is_video and cfg.video_frame_sampling:
-                # hard gate, not a warning: silently iterating the
-                # pre-extracted frames is a different training protocol
-                # than per-epoch random-frame sampling (the reference-era
-                # HMDB recipe) — a config must not drift protocols
-                # behind a log line (VERDICT r2 next #7)
-                raise ValueError(
-                    "video_frame_sampling=True (per-epoch random frame "
-                    "per video — the HMDB training protocol) requires "
-                    "input_pipeline='grain'.  Either use the grain "
-                    "pipeline or set video_frame_sampling=False to "
-                    "train on the pre-extracted frames directly "
-                    "(a PROTOCOL CHANGE: every stored frame is visited "
-                    "each epoch instead of one random frame per video)")
-            train_iter = pipeline.make_train_iterator(
-                cfg.train_pattern, spec, batch_size=host_batch,
-                image_size=cfg.image_size,
-                resize_min=cfg.resize_min_resolved,
-                resize_max=cfg.resize_max_resolved, seed=cfg.seed,
-                transfer_uint8=cfg.transfer_uint8,
-                checkpointable=cfg.tfdata_checkpoint)
-            if cfg.tfdata_checkpoint:
-                stateful_iter = train_iter
+                # per-epoch random-frame-per-video (the HMDB training
+                # protocol) on tf.data: group_by_window draws one fresh
+                # frame per video per epoch.  NOT silently iterating
+                # pre-extracted frames — that would be a protocol drift
+                # behind a config flag (VERDICT r2 next #7).
+                if cfg.tfdata_checkpoint:
+                    raise ValueError(
+                        "tfdata_checkpoint=True is not supported with "
+                        "video_frame_sampling (group_by_window state "
+                        "is not symbolically checkpointable); use "
+                        "input_pipeline='grain' for exact mid-epoch "
+                        "video-sampled resume")
+                train_iter = pipeline.make_video_train_iterator(
+                    cfg.train_pattern, spec, batch_size=host_batch,
+                    image_size=cfg.image_size,
+                    resize_min=cfg.resize_min_resolved,
+                    resize_max=cfg.resize_max_resolved, seed=cfg.seed,
+                    transfer_uint8=cfg.transfer_uint8)
+            else:
+                train_iter = pipeline.make_train_iterator(
+                    cfg.train_pattern, spec, batch_size=host_batch,
+                    image_size=cfg.image_size,
+                    resize_min=cfg.resize_min_resolved,
+                    resize_max=cfg.resize_max_resolved, seed=cfg.seed,
+                    transfer_uint8=cfg.transfer_uint8,
+                    checkpointable=cfg.tfdata_checkpoint)
+                if cfg.tfdata_checkpoint:
+                    stateful_iter = train_iter
     elif hasattr(train_iter, "get_state"):
         stateful_iter = train_iter
 

@@ -168,50 +168,67 @@ def _last_round_value():
 
 
 def main():
+    import signal
+
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
-    # b512 measured best on v5e at 224px (b256 ~9000, b1024 7338 img/s);
-    # one size keeps the driver's bench run short
-    fwd = _try(bench_forward, batch_size=512 if on_tpu else 8)
-    train_rate = _try(bench_train, batch_size=128 if on_tpu else 4)
-    int8_rate = _try(bench_int8, batch_size=256 if on_tpu else 8)
-    # paper-scale operating point (HICO 600-class, 448px)
-    fwd448 = _try(bench_forward, batch_size=128 if on_tpu else 2,
-                  image_size=448 if on_tpu else 64, num_classes=600,
-                  steps=10)
-    train448 = _try(bench_train, batch_size=32 if on_tpu else 2,
-                    image_size=448 if on_tpu else 64, dataset="hico",
-                    steps=10, freeze_bn=True)
-    int8_448 = _try(bench_int8, batch_size=64 if on_tpu else 2,
-                    image_size=448 if on_tpu else 64, num_classes=600,
-                    steps=10)
+    fields: dict = {}
 
-    last = _last_round_value()
-    vs_last = round(fwd / last, 3) if (fwd and last) else None
-    note = None
-    if vs_last is not None and vs_last < 0.95:
-        note = (f"REGRESSION: 224px fwd {fwd} is {vs_last}x last round's "
-                f"{last}")
-    print(json.dumps({
-        "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"
-                  f"_224px_bf16_b{512 if on_tpu else 8}_{platform}",
-        "value": fwd,
-        "unit": "images/sec/chip",
-        "vs_baseline": round(fwd / TARGET_IMG_S, 3) if fwd else None,
-        # the reference's actual workload (fwd+bwd+SGD, BN updating),
-        # B128 224px bf16 (VERDICT r1 weak #1)
-        "train_images_per_sec_per_chip": train_rate,
-        # quantized serving path (BN-folded + per-channel int8, B256)
-        "int8_images_per_sec_per_chip": int8_rate,
-        # paper-scale (448px HICO) operating point (VERDICT r2 next #3);
-        # train448 uses freeze_bn (the reference fine-tune recipe, now the
-        # presets' default at 448px)
-        "fwd448_images_per_sec_per_chip": fwd448,
-        "train448_images_per_sec_per_chip": train448,
-        "int8_448_images_per_sec_per_chip": int8_448,
-        "vs_last_round": vs_last,
-        "regression_note": note,
-    }))
+    def emit():
+        fwd = fields.get("value")
+        last = _last_round_value()
+        vs_last = round(fwd / last, 3) if (fwd and last) else None
+        note = None
+        if vs_last is not None and vs_last < 0.95:
+            note = (f"REGRESSION: 224px fwd {fwd} is {vs_last}x last "
+                    f"round's {last}")
+        print(json.dumps({
+            "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"
+                      f"_224px_bf16_b{512 if on_tpu else 8}_{platform}",
+            "unit": "images/sec/chip",
+            "vs_baseline": (round(fwd / TARGET_IMG_S, 3) if fwd
+                            else None),
+            **fields,
+            "vs_last_round": vs_last,
+            "regression_note": note,
+        }), flush=True)
+
+    def on_term(sig, frame):
+        # the driver's (unknown) timeout must not cost the whole round's
+        # numbers: emit whatever finished, then exit cleanly
+        fields["partial"] = True
+        emit()
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    # b512 measured best on v5e at 224px (b256 ~9000, b1024 7338 img/s)
+    fields["value"] = _try(bench_forward, batch_size=512 if on_tpu else 8)
+    # the reference's actual workload (fwd+bwd+SGD, BN updating),
+    # B128 224px bf16 (VERDICT r1 weak #1)
+    fields["train_images_per_sec_per_chip"] = _try(
+        bench_train, batch_size=128 if on_tpu else 4)
+    # quantized serving path (BN-folded + per-channel int8, B256)
+    fields["int8_images_per_sec_per_chip"] = _try(
+        bench_int8, batch_size=256 if on_tpu else 8)
+    # paper-scale (448px HICO 600-class) operating point (VERDICT r2
+    # next #3); train448 uses freeze_bn (the reference fine-tune recipe,
+    # now the presets' default at 448px)
+    fields["fwd448_images_per_sec_per_chip"] = _try(
+        bench_forward, batch_size=128 if on_tpu else 2,
+        image_size=448 if on_tpu else 64, num_classes=600, steps=10)
+    fields["train448_images_per_sec_per_chip"] = _try(
+        bench_train, batch_size=32 if on_tpu else 2,
+        image_size=448 if on_tpu else 64, dataset="hico", steps=10,
+        freeze_bn=True)
+    fields["int8_448_images_per_sec_per_chip"] = _try(
+        bench_int8, batch_size=64 if on_tpu else 2,
+        image_size=448 if on_tpu else 64, num_classes=600, steps=10)
+    # the fine-tune RECIPE number at 224px (freeze_bn; the BN-updating
+    # train rate above stays the protocol-faithful metric)
+    fields["train_freezebn_images_per_sec_per_chip"] = _try(
+        bench_train, batch_size=128 if on_tpu else 4, freeze_bn=True)
+    emit()
 
 
 if __name__ == "__main__":

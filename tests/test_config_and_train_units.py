@@ -38,6 +38,29 @@ def test_resize_defaults():
     cfg = config_lib.get_config("mpii_rank1_224")
     assert cfg.resize_min_resolved == 256
     assert cfg.resize_max_resolved == 512
+
+
+def test_compilation_cache_dir_populates(tmp_path):
+    """compilation_cache_dir turns on JAX's persistent executable cache
+    (fast preemption-restart re-jits); entries land in the given dir."""
+    import jax
+
+    cache = tmp_path / "xla_cache"
+    cfg = config_lib.TrainConfig(compilation_cache_dir=str(cache))
+    train_lib.setup_compilation_cache(cfg)
+    try:
+        @jax.jit
+        def probe(x):
+            return (x * 3.0 + 1.0).sum()
+
+        float(probe(jnp.arange(2048.0)))
+        assert any(cache.iterdir()), "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+    # None leaves JAX defaults untouched
+    train_lib.setup_compilation_cache(
+        config_lib.TrainConfig(compilation_cache_dir=None))
+    assert jax.config.jax_compilation_cache_dir is None
     cfg450 = config_lib.get_config("mpii_rank5_450_mesh")
     assert cfg450.resize_min_resolved == round(450 * 256 / 224)
 

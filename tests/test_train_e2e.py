@@ -122,23 +122,25 @@ def test_hmdb_end_to_end(tmp_path):
     assert "accuracy" in results and "per_frame_accuracy" in results
 
 
-def test_video_sampling_requires_grain_hard_gate(tmp_path):
-    """hmdb51 + tfdata + video_frame_sampling must be a config ERROR, not
-    a warning-then-protocol-drift (VERDICT r2 next #7)."""
+def test_video_sampling_tfdata_end_to_end(tmp_path):
+    """hmdb51 + tfdata + video_frame_sampling trains via the per-epoch
+    group_by_window sampler (protocol parity with the grain path —
+    VERDICT r2 next #7); only the tfdata_checkpoint combo is rejected."""
     spec = get_dataset("hmdb51")
     p = str(tmp_path / "h.tfrecord")
     records.write_synthetic_dataset(p, spec, 6, image_size=80,
                                     frames_per_video=3)
     cfg = tiny_cfg(dataset="hmdb51", train_pattern=p, num_steps=1,
-                   input_pipeline="tfdata", video_frame_sampling=True)
-    with pytest.raises(ValueError, match="grain"):
-        train_lib.train(cfg, num_steps=1)
-    # explicit opt-out trains on pre-extracted frames (allowed)
-    cfg2 = tiny_cfg(dataset="hmdb51", train_pattern=p, num_steps=1,
-                    input_pipeline="tfdata", video_frame_sampling=False,
-                    resize_min=72, resize_max=90)
-    state, _ = train_lib.train(cfg2, num_steps=1)
+                   input_pipeline="tfdata", video_frame_sampling=True,
+                   batch_size=2, resize_min=72, resize_max=90)
+    state, _ = train_lib.train(cfg, num_steps=1)
     assert int(state.step) == 1
+    # exact mid-epoch resume of the sampler needs grain: hard error
+    cfg2 = tiny_cfg(dataset="hmdb51", train_pattern=p, num_steps=1,
+                    input_pipeline="tfdata", video_frame_sampling=True,
+                    tfdata_checkpoint=True)
+    with pytest.raises(ValueError, match="grain"):
+        train_lib.train(cfg2, num_steps=1)
 
 
 def test_hico_multilabel_loss(tmp_path):
