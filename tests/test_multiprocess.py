@@ -159,6 +159,20 @@ res = eval_lib.evaluate(ecfg, estate)
 assert res["num_examples"] == 8, res     # gathered across both hosts
 print(f"EVAL mAP={res['mAP']!r} acc={res['accuracy']!r}")
 
+# --- UNEVEN shards (5 examples over 2 hosts: 3 vs 2) exercise the
+# padded gather; metrics must still match single-process bit-for-bit ---
+import dataclasses
+ecfg5 = dataclasses.replace(ecfg, eval_pattern=tmp + "/val5.tfrecord")
+res5 = eval_lib.evaluate(ecfg5, estate)
+assert res5["num_examples"] == 5, res5
+print(f"EVAL5 mAP={res5['mAP']!r}")
+
+# --- grain pipeline sharded eval (slice-by-process) gathers too ---
+ecfgg = dataclasses.replace(ecfg, input_pipeline="grain")
+resg = eval_lib.evaluate(ecfgg, estate)
+assert resg["num_examples"] == 8, resg
+print(f"EVALG mAP={resg['mAP']!r}")
+
 print(f"WORKER{proc_id} OK")
 """
 
@@ -182,6 +196,7 @@ def test_two_process_distributed(tmp_path):
             keypoints=np.zeros((16, 2), np.float32),
             visibility=np.zeros((16,), np.float32)))
     records.write_tfrecord(str(tmp_path / "train.tfrecord"), examples)
+    records.write_tfrecord(str(tmp_path / "val5.tfrecord"), examples[:5])
 
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
@@ -224,9 +239,27 @@ def test_two_process_distributed(tmp_path):
                        eval_pattern=str(tmp_path / "train.tfrecord"))
     estate, _, _, _ = train_lib.create_state(ecfg)
     expected = eval_lib.evaluate(ecfg, estate)
+    import dataclasses
+
+    expected5 = eval_lib.evaluate(
+        dataclasses.replace(ecfg,
+                            eval_pattern=str(tmp_path / "val5.tfrecord")),
+        estate)
+    expectedg = eval_lib.evaluate(
+        dataclasses.replace(ecfg, input_pipeline="grain"), estate)
     for out in outs:
         m = re.search(r"EVAL mAP=([\d.e+-]+) acc=([\d.e+-]+)", out)
         assert m, out
         assert abs(float(m.group(1)) - expected["mAP"]) < 1e-12, (
             m.group(1), expected["mAP"])
         assert abs(float(m.group(2)) - expected["accuracy"]) < 1e-9
+        # uneven 3/2 shards (padded gather) match single-process exactly
+        m5 = re.search(r"EVAL5 mAP=([\d.e+-]+)", out)
+        assert m5, out
+        assert abs(float(m5.group(1)) - expected5["mAP"]) < 1e-12
+        # grain sharded eval matches the single-process grain eval
+        # bit-for-bit (slice-by-process input path + gather)
+        mg = re.search(r"EVALG mAP=([\d.e+-]+)", out)
+        assert mg, out
+        assert abs(float(mg.group(1)) - expectedg["mAP"]) < 1e-12, (
+            mg.group(1), expectedg["mAP"])
