@@ -243,8 +243,9 @@ def test_http_server_end_to_end(predictor):
         conn.request("GET", "/metrics")
         resp = conn.getresponse()
         assert resp.status == 200
+        text = resp.read().decode()
         raw = dict(
-            line.split() for line in resp.read().decode().splitlines()
+            line.split() for line in text.splitlines()
             if line and not line.startswith("#"))
         delta = {k: float(v) - before.get(k, 0.0) for k, v in raw.items()}
         # this test made 3 good requests (1 raw + 2 batch) and 1 bad
@@ -253,6 +254,10 @@ def test_http_server_end_to_end(predictor):
         assert delta["serving_items_total"] == 3
         assert delta["serving_device_dispatches_total"] >= 1
         assert delta["serving_device_seconds_sum"] > 0
+        # request latency histogram exported (p50/p95/p99 via PromQL)
+        assert "# TYPE serving_latency_seconds histogram" in text
+        assert float(raw["serving_latency_seconds_count"]) >= 2
+        assert 'serving_latency_seconds_bucket{le="+Inf"}' in raw
     finally:
         server.shutdown()
         server.batcher.stop()
