@@ -70,10 +70,16 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
 
         def do_GET(self):
             if self.path == "/healthz":
+                q = stats.latency_quantile
+                lat = {p: (None if (v := q(p / 100)) != v else round(v, 6))
+                       for p in (50, 95, 99)}   # NaN (no traffic) -> null
                 self._json(200, {"status": "ok",
                                  "dataset": predictor.cfg.dataset,
                                  "int8": predictor.int8,
-                                 "buckets": list(predictor.buckets)})
+                                 "buckets": list(predictor.buckets),
+                                 "data_parallel":
+                                     predictor.mesh is not None,
+                                 "latency_seconds": lat})
             elif self.path == "/metrics":      # Prometheus text format
                 body = stats.render().encode()
                 self.send_response(200)
@@ -147,6 +153,18 @@ def main(argv):
                          FLAGS.max_batch, FLAGS.max_wait_ms)
     logging.info("serving %s on %s:%d (int8=%s)", FLAGS.config, FLAGS.host,
                  FLAGS.port, FLAGS.int8)
+
+    # Preemption-graceful shutdown (the serving-side mirror of train()'s
+    # SIGTERM handling): stop accepting, let in-flight handlers finish,
+    # fail still-queued futures fast instead of letting the LB time out.
+    import signal
+    import threading
+
+    def on_term(sig, frame):
+        logging.warning("SIGTERM: draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, on_term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

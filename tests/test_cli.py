@@ -73,6 +73,63 @@ def test_train_then_eval_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_cli_sigterm_drains(tmp_path):
+    """Serving-side preemption contract: SIGTERM -> drain log, HTTP loop
+    exits, batcher stops, process exits 0 (serve_cli round 3)."""
+    import http.client
+    import signal
+    import socket
+    import time
+
+    spec = get_dataset("mpii")
+    train_p = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(train_p, spec, 8, image_size=80)
+    workdir = str(tmp_path / "run")
+    r = run_cli("attentionalpoolingaction_tpu.train_cli",
+                "--config", "mpii_rank1_224",
+                "--train_pattern", train_p, "--workdir", workdir,
+                "--num_steps", "1", "--set", "checkpoint_every=1", *COMMON)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m",
+         "attentionalpoolingaction_tpu.serve_cli",
+         "--config", "mpii_rank1_224", "--workdir", workdir,
+         "--port", str(port), "--buckets", "1,2",
+         "--set", "backbone=resnet_v1_50", "--set", "image_size=64",
+         "--set", "bf16_backbone=False", "--set", "resize_min=72"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO,
+                       "JAX_PLATFORMS": "cpu"})
+    try:
+        lines = []
+        deadline = time.time() + 360
+        for line in p.stdout:
+            lines.append(line)
+            if "serving mpii_rank1_224 on" in line:
+                break
+            assert time.time() < deadline, "".join(lines)[-2000:]
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+
+        p.send_signal(signal.SIGTERM)
+        rest = p.stdout.read()
+        rc = p.wait(timeout=120)
+        out = "".join(lines) + rest
+        assert rc == 0, out[-2000:]
+        assert "draining" in out, out[-2000:]
+    finally:
+        if p.poll() is None:
+            p.kill()
+
+
+@pytest.mark.slow
 def test_sigterm_preempts_cleanly(tmp_path):
     """Pod preemption contract: SIGTERM mid-run -> the loop checkpoints
     the current step (checkpoint_every is far away), logs, exits 0."""

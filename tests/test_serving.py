@@ -258,6 +258,12 @@ def test_http_server_end_to_end(predictor):
         assert "# TYPE serving_latency_seconds histogram" in text
         assert float(raw["serving_latency_seconds_count"]) >= 2
         assert 'serving_latency_seconds_bucket{le="+Inf"}' in raw
+
+        # /healthz exposes in-process latency quantiles once traffic flows
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["data_parallel"] is False
+        assert health["latency_seconds"]["99"] > 0
     finally:
         server.shutdown()
         server.batcher.stop()
