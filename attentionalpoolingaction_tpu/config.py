@@ -62,6 +62,13 @@ class TrainConfig:
     # the random-access video index; tfdata via group_by_window); False
     # iterates the pre-extracted frames directly (a protocol change)
     video_frame_sampling: bool = True
+    # stored frames per video in the converted records (convert_hmdb
+    # --frames_per_video).  The tfdata sampling path uses it as the
+    # group_by_window size: a video's window flushes as soon as its
+    # frames have streamed past, bounding host RAM to the interleave
+    # span (an oversized window would buffer every video until epoch
+    # end — the whole split's JPEGs resident at once)
+    frames_per_video: int = 25
     # persistent XLA compilation cache (jax_compilation_cache_dir): a
     # preemption restart re-jits the train step from the on-disk cache in
     # seconds instead of recompiling (~30-40s per program on TPU) — set

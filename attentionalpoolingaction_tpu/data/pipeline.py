@@ -164,7 +164,7 @@ def make_video_train_iterator(file_pattern, spec: DatasetSpec, *,
                               seed: int = 0,
                               shard_by_process: bool = True,
                               transfer_uint8: bool = False,
-                              max_frames_per_video: int = 64
+                              frames_per_video: int = 25
                               ) -> Iterator[dict]:
     """Per-epoch random-frame-per-video training iterator (tf.data).
 
@@ -176,12 +176,18 @@ def make_video_train_iterator(file_pattern, spec: DatasetSpec, *,
 
     Mechanics: TFRecords are sequential (random access lives in the Grain
     path), so each epoch READS all stored frames and `group_by_window`
-    keeps one random frame per video (window = all of a video's frames,
-    flushed at epoch end; the in-window `shuffle().take(1)` redraws every
-    epoch).  Reading frames_per_video x the consumed bytes per epoch is
-    acceptable at HMDB51 scale; prefer Grain for bigger corpora.  Frame
-    draws use TF's stateful RNG: fresh each epoch, not reproducible
-    across runs (Grain's seeded path is).
+    keeps one random frame per video (the in-window `shuffle().take(1)`
+    redraws every epoch).  ``frames_per_video`` MUST match the converter's
+    --frames_per_video: it is the window size, and a full-length video's
+    window flushes the moment its frames have streamed past.  Windows of
+    SHORT videos (converter stored fewer frames than requested) stay
+    buffered until end-of-input — selection is still correct (they flush
+    then), it just costs their JPEG bytes in host RAM for the epoch; an
+    oversized window_size would do that for EVERY video.  Reading
+    frames_per_video x the consumed bytes per epoch is acceptable at
+    HMDB51 scale; prefer Grain for bigger corpora.  Frame draws use TF's
+    stateful RNG: fresh each epoch, not reproducible across runs
+    (Grain's seeded path is).
 
     Multi-host sharding is by VIDEO id (not record round-robin) so each
     video lives on exactly one host — the grain path's semantics."""
@@ -198,8 +204,8 @@ def make_video_train_iterator(file_pattern, spec: DatasetSpec, *,
     ds = ds.group_by_window(
         key_func=lambda p: p["video/id"],
         reduce_func=lambda key, win: win.shuffle(
-            max_frames_per_video).take(1),
-        window_size=max_frames_per_video)
+            frames_per_video).take(1),
+        window_size=frames_per_video)
     # video visit order: fresh shuffle each epoch (reshuffle default)
     ds = ds.shuffle(2048, seed=seed)
     ds = ds.repeat()

@@ -58,15 +58,20 @@ def _masked_crc(data: bytes) -> int:
     return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
 
 
+def _write_framed(f, data: bytes):
+    """TFRecord wire framing: length + masked-CRC header, data, data CRC."""
+    length = struct.pack("<Q", len(data))
+    f.write(length)
+    f.write(struct.pack("<I", _masked_crc(length)))
+    f.write(data)
+    f.write(struct.pack("<I", _masked_crc(data)))
+
+
 def write_tfrecord(path, serialized_examples):
     """Write serialized example protos to a TFRecord file."""
     with open(path, "wb") as f:
         for data in serialized_examples:
-            length = struct.pack("<Q", len(data))
-            f.write(length)
-            f.write(struct.pack("<I", _masked_crc(length)))
-            f.write(data)
-            f.write(struct.pack("<I", _masked_crc(data)))
+            _write_framed(f, data)
 
 
 class ShardedTFRecordWriter:
@@ -94,11 +99,7 @@ class ShardedTFRecordWriter:
     def write(self, data: bytes, shard: int | None = None):
         f = self._files[(self.count if shard is None else shard)
                         % len(self._files)]
-        length = struct.pack("<Q", len(data))
-        f.write(length)
-        f.write(struct.pack("<I", _masked_crc(length)))
-        f.write(data)
-        f.write(struct.pack("<I", _masked_crc(data)))
+        _write_framed(f, data)
         self.count += 1
 
     def close(self):

@@ -64,9 +64,15 @@ def main(argv):
     # compiled once; --follow re-evals reuse it across checkpoints
     evaluator = eval_lib.Evaluator(cfg)
 
+    from attentionalpoolingaction_tpu.parallel import multihost
+
     def eval_step(step):
         restored = ckpt_lib.restore_for_eval(mgr, step=step)
-        if restored is None:
+        # Collective agreement: if ANY host failed to restore (e.g. the step
+        # was pruned by max_to_keep between list and restore), every host
+        # must skip — otherwise one process skips the eval gather while the
+        # others block in it and the pod hangs.  Single-process: plain bool.
+        if multihost.allreduce_flag(restored is None):
             return None
         results = evaluator(restored, return_per_class=FLAGS.per_class)
         results["step"] = int(restored.step)
@@ -94,7 +100,10 @@ def main(argv):
     n_evals = 0
     while FLAGS.max_evals is None or n_evals < FLAGS.max_evals:
         mgr.reload()
-        latest = mgr.latest_step()
+        # hosts poll the checkpoint dir independently and can observe
+        # different "latest" steps — agree on host 0's view before the
+        # collective eval (mixed steps would silently pair in the gather)
+        latest = multihost.broadcast_step(mgr.latest_step())
         if latest is not None and latest not in seen:
             seen.add(latest)
             eval_step(latest)

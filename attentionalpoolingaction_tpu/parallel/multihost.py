@@ -95,6 +95,25 @@ def allgather_host_arrays(arrays: dict) -> dict:
     return out
 
 
+def broadcast_step(step: int | None) -> int | None:
+    """Host-0's checkpoint step wins everywhere (``None`` encoded as -1).
+
+    --follow polls the checkpoint dir on every host; filesystem races mean
+    hosts can see different "latest" steps, and the sharded eval's gather is
+    a collective — mixed steps would pair up silently.  Agreeing on host 0's
+    view before evaluating keeps every process on the same checkpoint.
+    Single-process: identity."""
+    if jax.process_count() == 1:
+        return step
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    v = multihost_utils.broadcast_one_to_all(
+        np.asarray([-1 if step is None else int(step)], np.int64))
+    s = int(v[0])
+    return None if s < 0 else s
+
+
 def allreduce_flag(flag: bool) -> bool:
     """Cross-host OR of a python bool (max over a global mesh).  Blocking
     variant of :class:`FlagAllReduce` for one-shot checks."""

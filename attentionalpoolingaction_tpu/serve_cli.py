@@ -128,7 +128,11 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
             except Exception as exc:  # internal failure (device stall,
                 # future timeout, ...) — 500 so LBs retry/mark unhealthy
                 # rather than blaming the request; counted so alerts on
-                # serving_internal_errors_total fire while requests fail
+                # serving_internal_errors_total fire while requests fail.
+                # Failed/timed-out requests enter the latency histogram
+                # too — p99 must degrade exactly when the server is
+                # unhealthy, not keep reporting the pre-incident value
+                stats.observe_latency(time.monotonic() - t_start)
                 stats.inc("serving_internal_errors_total")
                 self._json(500, {"error": str(exc)})
 

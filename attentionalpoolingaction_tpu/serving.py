@@ -303,15 +303,22 @@ class DynamicBatcher:
         self.stats = stats or ServingStats()
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # serializes submit's check+put against stop's drain: without it a
+        # handler could pass the stop check, get descheduled across the
+        # whole stop() (flag, join, drain), then enqueue into the abandoned
+        # queue — an unresolvable future and the exact 60s hang the drain
+        # exists to prevent
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def submit(self, item) -> Future:
         fut: Future = Future()
-        if self._stop.is_set():
-            fut.set_exception(RuntimeError("batcher is shut down"))
-            return fut
-        self._q.put((item, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                fut.set_exception(RuntimeError("batcher is shut down"))
+                return fut
+            self._q.put((item, fut))
         return fut
 
     def stop(self):
@@ -320,13 +327,14 @@ class DynamicBatcher:
         their full result() timeout (ADVICE r2 serving.py:232)."""
         self._stop.set()
         self._thread.join(timeout=5)
-        while True:
-            try:
-                _, fut = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(RuntimeError("batcher shut down"))
+        with self._submit_lock:   # no submit can interleave with the drain
+            while True:
+                try:
+                    _, fut = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if not fut.done():
+                    fut.set_exception(RuntimeError("batcher shut down"))
 
     def _worker(self):
         while not self._stop.is_set():

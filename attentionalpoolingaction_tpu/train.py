@@ -387,7 +387,8 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                     image_size=cfg.image_size,
                     resize_min=cfg.resize_min_resolved,
                     resize_max=cfg.resize_max_resolved, seed=cfg.seed,
-                    transfer_uint8=cfg.transfer_uint8)
+                    transfer_uint8=cfg.transfer_uint8,
+                    frames_per_video=cfg.frames_per_video)
             else:
                 train_iter = pipeline.make_train_iterator(
                     cfg.train_pattern, spec, batch_size=host_batch,

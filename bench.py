@@ -147,8 +147,12 @@ def _try(fn, **kw):
         return None
 
 
-def _last_round_value():
-    """Newest driver-written BENCH_r*.json's 224px forward value."""
+def _last_round_value(metric: str):
+    """Newest driver-written BENCH_r*.json's 224px forward value — only if
+    it was measured under the SAME metric name (platform and batch are
+    embedded in it): a CPU dev run after a TPU round must not emit a
+    spurious ~0.05x REGRESSION note, nor a TPU run after a CPU round mask
+    a real one."""
     here = os.path.dirname(os.path.abspath(__file__))
     best = (None, -1)
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -162,6 +166,8 @@ def _last_round_value():
         return None
     try:
         parsed = json.load(open(best[0])).get("parsed") or {}
+        if parsed.get("metric") != metric:
+            return None
         return float(parsed.get("value"))
     except (ValueError, TypeError, OSError):
         return None
@@ -174,17 +180,19 @@ def main():
     on_tpu = platform != "cpu"
     fields: dict = {}
 
+    metric = ("resnet101_attnpool_fwd_images_per_sec_per_chip"
+              f"_224px_bf16_b{512 if on_tpu else 8}_{platform}")
+
     def emit():
         fwd = fields.get("value")
-        last = _last_round_value()
+        last = _last_round_value(metric)
         vs_last = round(fwd / last, 3) if (fwd and last) else None
         note = None
         if vs_last is not None and vs_last < 0.95:
             note = (f"REGRESSION: 224px fwd {fwd} is {vs_last}x last "
                     f"round's {last}")
         print(json.dumps({
-            "metric": "resnet101_attnpool_fwd_images_per_sec_per_chip"
-                      f"_224px_bf16_b{512 if on_tpu else 8}_{platform}",
+            "metric": metric,
             "unit": "images/sec/chip",
             "vs_baseline": (round(fwd / TARGET_IMG_S, 3) if fwd
                             else None),

@@ -20,6 +20,29 @@ COMMON = ["--set", "backbone=resnet_v1_50", "--set", "image_size=64",
           "--jax_platform=cpu"]
 
 
+def read_until(p, marker, timeout=360):
+    """Read subprocess stdout lines until ``marker`` appears.  A watchdog
+    kills the process at ``timeout`` so a subprocess that wedges WITHOUT
+    printing fails the test with the captured output instead of blocking
+    readline forever (the in-loop deadline assert only ran when a new
+    line arrived)."""
+    import threading
+
+    lines = []
+    timer = threading.Timer(timeout, p.kill)
+    timer.start()
+    try:
+        for line in p.stdout:
+            lines.append(line)
+            if marker in line:
+                return lines
+    finally:
+        timer.cancel()
+    raise AssertionError(
+        f"marker {marker!r} not seen before EOF/timeout({timeout}s):\n"
+        + "".join(lines)[-2000:])
+
+
 def run_cli(module, *args, timeout=420):
     return subprocess.run(
         [sys.executable, "-u", "-m", module, *args],
@@ -79,7 +102,6 @@ def test_serve_cli_sigterm_drains(tmp_path):
     import http.client
     import signal
     import socket
-    import time
 
     spec = get_dataset("mpii")
     train_p = str(tmp_path / "train.tfrecord")
@@ -105,13 +127,7 @@ def test_serve_cli_sigterm_drains(tmp_path):
         cwd=REPO, env={**os.environ, "PYTHONPATH": REPO,
                        "JAX_PLATFORMS": "cpu"})
     try:
-        lines = []
-        deadline = time.time() + 360
-        for line in p.stdout:
-            lines.append(line)
-            if "serving mpii_rank1_224 on" in line:
-                break
-            assert time.time() < deadline, "".join(lines)[-2000:]
+        lines = read_until(p, "serving mpii_rank1_224 on")
 
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
         conn.request("GET", "/healthz")
@@ -134,7 +150,6 @@ def test_sigterm_preempts_cleanly(tmp_path):
     """Pod preemption contract: SIGTERM mid-run -> the loop checkpoints
     the current step (checkpoint_every is far away), logs, exits 0."""
     import signal
-    import time
 
     spec = get_dataset("mpii")
     train_p = str(tmp_path / "train.tfrecord")
@@ -149,13 +164,7 @@ def test_sigterm_preempts_cleanly(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env={**os.environ, "PYTHONPATH": REPO,
                        "JAX_PLATFORMS": "cpu"})
-    lines = []
-    deadline = time.time() + 360
-    for line in p.stdout:
-        lines.append(line)
-        if "step 3 " in line:
-            break
-        assert time.time() < deadline, "".join(lines)[-2000:]
+    lines = read_until(p, "step 3 ")
     p.send_signal(signal.SIGTERM)
     rest = p.stdout.read()
     rc = p.wait(timeout=300)

@@ -38,6 +38,8 @@ def test_resize_defaults():
     cfg = config_lib.get_config("mpii_rank1_224")
     assert cfg.resize_min_resolved == 256
     assert cfg.resize_max_resolved == 512
+    cfg450 = config_lib.get_config("mpii_rank5_450_mesh")
+    assert cfg450.resize_min_resolved == round(450 * 256 / 224)
 
 
 def test_compilation_cache_dir_populates(tmp_path):
@@ -61,14 +63,37 @@ def test_compilation_cache_dir_populates(tmp_path):
     train_lib.setup_compilation_cache(
         config_lib.TrainConfig(compilation_cache_dir=None))
     assert jax.config.jax_compilation_cache_dir is None
-    cfg450 = config_lib.get_config("mpii_rank5_450_mesh")
-    assert cfg450.resize_min_resolved == round(450 * 256 / 224)
 
 
 @pytest.mark.parametrize("size,expected", [
     (224, 7), (448, 14), (450, 15), (64, 2), (96, 3)])
 def test_feature_size(size, expected):
     assert train_lib.feature_size(size) == expected
+
+
+def test_bench_vs_last_round_gated_on_metric_name(tmp_path, monkeypatch):
+    """bench's regression compare only pairs same-metric rounds: a CPU dev
+    run after a TPU round must not emit a spurious ~0.05x REGRESSION note
+    (platform and batch are embedded in the metric name)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    tpu_metric = ("resnet101_attnpool_fwd_images_per_sec_per_chip"
+                  "_224px_bf16_b512_tpu")
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"parsed": {"metric": tpu_metric, "value": 9000.0}}))
+    assert bench._last_round_value(tpu_metric) == 9000.0
+    cpu_metric = tpu_metric.replace("b512_tpu", "b8_cpu")
+    assert bench._last_round_value(cpu_metric) is None
+    # newest round wins even with a lower number
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(
+        {"parsed": {"metric": tpu_metric, "value": 8000.0}}))
+    assert bench._last_round_value(tpu_metric) == 8000.0
+    # malformed newest file -> no comparison, no crash
+    (tmp_path / "BENCH_r09.json").write_text("not json")
+    assert bench._last_round_value(tpu_metric) is None
 
 
 def test_lr_schedules():

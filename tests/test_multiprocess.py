@@ -58,6 +58,11 @@ assert r.read(h) is False
 assert multihost.allreduce_flag(proc_id == 1) is True
 assert multihost.allreduce_flag(False) is False
 
+# --- checkpoint-step agreement (eval_cli --follow polling skew): hosts
+# can see different "latest" steps; host 0's view must win everywhere ---
+assert multihost.broadcast_step(100 + proc_id) == 100
+assert multihost.broadcast_step(None if proc_id == 0 else 7) is None
+
 # --- global mesh over both processes' devices ---
 mesh = mesh_lib.make_mesh((2,), ("data",))
 

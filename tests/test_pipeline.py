@@ -88,17 +88,23 @@ def test_eval_iterator_video_ids(tmp_path):
     assert set(batches[0]["video_id"]) == {0, 1}
 
 
-def test_video_train_iterator_samples_per_epoch(tmp_path):
+@pytest.mark.parametrize("window", [3, 25])
+def test_video_train_iterator_samples_per_epoch(tmp_path, window):
     """tf.data per-epoch video sampling: every epoch yields exactly one
     frame per video, the frame redraws across epochs, and the visit
-    order reshuffles (grain-path protocol parity — VERDICT r2 next #7)."""
+    order reshuffles (grain-path protocol parity — VERDICT r2 next #7).
+
+    window=3 matches the stored frames/video: every window flushes the
+    moment its video's frames stream past (the bounded-memory fast path);
+    window=25 oversizes it so windows flush at end-of-input (the
+    short-video fallback) — sampling must be correct either way."""
     spec = get_dataset("hmdb51")
     path = str(tmp_path / "v.tfrecord")
     rec.write_synthetic_dataset(path, spec, 12, image_size=64,
                                 frames_per_video=3)      # 4 videos
     it = pipeline.make_video_train_iterator(
         path, spec, batch_size=4, image_size=32, resize_min=36,
-        resize_max=40, shard_by_process=False)
+        resize_max=40, shard_by_process=False, frames_per_video=window)
     seen_frames = {v: set() for v in range(4)}
     for _ in range(12):                  # one batch == one epoch here
         b = next(it)

@@ -152,6 +152,41 @@ def test_dynamic_batcher_stop_fails_queued_futures():
         late.result(timeout=5)
 
 
+def test_dynamic_batcher_concurrent_submit_stop_leaves_no_pending():
+    """submit racing stop() must never strand a future: either it resolves
+    with a result or fails with the shutdown error — a pending future
+    would hang its HTTP handler for the full 60s result() timeout (the
+    check+put vs drain race is serialized by the submit lock)."""
+    import concurrent.futures as cf
+
+    for trial in range(20):
+        b = serving.DynamicBatcher(lambda items: list(items),
+                                   max_batch=4, max_wait_ms=0.5)
+        futs = []
+        go = threading.Event()
+
+        def hammer():
+            go.wait(1)
+            for i in range(50):
+                futs.append(b.submit(i))
+
+        threads = [threading.Thread(target=hammer) for _ in range(4)]
+        for t in threads:
+            t.start()
+        go.set()
+        b.stop()                       # races the submitting threads
+        for t in threads:
+            t.join(timeout=10)
+        for f in futs:
+            try:
+                f.result(timeout=5)    # resolved either way is fine;
+            except RuntimeError:       # TimeoutError means a stranded
+                pass                   # future -> fail the test
+            except cf.TimeoutError:
+                raise AssertionError(
+                    f"trial {trial}: future stranded after stop()")
+
+
 def test_latency_histogram_buckets_and_quantiles():
     s = serving.ServingStats()
     for v in (0.002, 0.002, 0.002, 0.002, 0.08, 0.08, 0.08, 0.08, 7.0,
