@@ -70,9 +70,12 @@ def restore_for_eval(manager: ocp.CheckpointManager, step=None):
         step: Any
         params: Any
         batch_stats: Any
+        # present iff the run trained with config.ema_decay
+        ema_params: Any = None
 
     return EvalState(step=raw["step"], params=raw["params"],
-                     batch_stats=raw.get("batch_stats", {}))
+                     batch_stats=raw.get("batch_stats", {}),
+                     ema_params=raw.get("ema_params"))
 
 
 # ---------------------------------------------------------------------------

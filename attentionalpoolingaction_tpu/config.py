@@ -46,6 +46,15 @@ class TrainConfig:
     # clipping is load-bearing at slim-era LRs (verified by divergence
     # probes on v5e) and harmless otherwise
     grad_clip_norm: float | None = 10.0
+    # parameter EMA — the slim train template's moving_average_decay
+    # (tf.train.ExponentialMovingAverage(decay, num_updates=global_step),
+    # SURVEY.md section 2.1 train-driver row).  None disables; typical
+    # 0.999-0.9999.  TF's num_updates warmup applies: effective decay is
+    # min(decay, (1+step)/(10+step)), so early steps track params closely
+    ema_decay: float | None = None
+    # evaluate/serve with the EMA weights instead of the raw params
+    # (requires a checkpoint trained with ema_decay set)
+    eval_ema: bool = False
     # input pipeline
     input_pipeline: str = "tfdata"      # tfdata | grain
     grain_workers: int = 0              # grain multiprocess prefetch workers

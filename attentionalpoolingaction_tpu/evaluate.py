@@ -193,6 +193,15 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
     compiled forward across invocations."""
     spec = get_dataset(cfg.dataset)
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    if cfg.eval_ema:
+        # evaluate the EMA weights (slim's moving_average_decay eval-time
+        # restore of the shadow variables)
+        ema = getattr(state, "ema_params", None)
+        if ema is None:
+            raise ValueError(
+                "eval_ema=True but the state/checkpoint has no ema_params "
+                "— train with --set ema_decay=0.9999 (or similar) first")
+        state = state.replace(params=ema)
     if step_fn is None:
         from attentionalpoolingaction_tpu.train import (
             setup_compilation_cache)

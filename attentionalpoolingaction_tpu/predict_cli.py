@@ -29,6 +29,8 @@ flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
 flags.DEFINE_bool("int8", False,
                   "BN-folded post-training-int8 serving path "
                   "(models/inference.py)")
+flags.DEFINE_bool("ema", False,
+                  "use the EMA weights (requires ema_decay training)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None, "force a JAX backend")
 flags.mark_flag_as_required("workdir")
@@ -46,7 +48,7 @@ def main(argv):
 
     predictor = serving.load_predictor(
         cfg, step=FLAGS.step, int8=FLAGS.int8,
-        buckets=(FLAGS.batch_size,))
+        buckets=(FLAGS.batch_size,), use_ema=FLAGS.ema)
     paths = list(FLAGS.images)
     for lo in range(0, len(paths), FLAGS.batch_size):
         chunk = paths[lo:lo + FLAGS.batch_size]

@@ -6,6 +6,9 @@ serving.DynamicBatcher so concurrent clients share device dispatches.
 Usage:
     python -m attentionalpoolingaction_tpu.serve_cli \
         --config mpii_rank1_224 --workdir /tmp/run1 --port 8800 [--int8]
+    # or serve an AOT artifact (export_cli) — no checkpoint/model build:
+    python -m attentionalpoolingaction_tpu.serve_cli \
+        --exported_dir /tmp/artifact --port 8800
 
 Endpoints:
     GET  /healthz          -> {"status": "ok", ...}
@@ -28,9 +31,16 @@ from attentionalpoolingaction_tpu import serving
 FLAGS = flags.FLAGS
 flags.DEFINE_string("config", "mpii_rank1_224", "preset name")
 flags.DEFINE_string("workdir", None, "run dir containing checkpoints/")
+flags.DEFINE_string(
+    "exported_dir", None,
+    "serve an AOT artifact (export_cli) instead of a checkpoint: no "
+    "model build or checkpoint restore on the serving path; --config/"
+    "--workdir/--int8/--buckets come from the artifact manifest")
 flags.DEFINE_integer("port", 8800, "HTTP port")
 flags.DEFINE_string("host", "127.0.0.1", "bind address")
 flags.DEFINE_bool("int8", False, "serve the quantized BN-folded path")
+flags.DEFINE_bool("ema", False,
+                  "serve the EMA weights (requires ema_decay training)")
 flags.DEFINE_bool("data_parallel", False,
                   "shard each batch across all local devices "
                   "(multi-chip hosts; buckets round up to chip multiples)")
@@ -44,7 +54,6 @@ flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
 flags.DEFINE_integer("max_batch", 32, "dynamic batcher max coalesced batch")
 flags.DEFINE_float("max_wait_ms", 5.0, "dynamic batcher max wait")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
-flags.mark_flag_as_required("workdir")
 
 
 def make_server(predictor: serving.Predictor, host: str, port: int,
@@ -143,20 +152,29 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
 
 def main(argv):
     del argv
-    overrides = config_lib.parse_overrides(FLAGS.set)
-    overrides["workdir"] = FLAGS.workdir
-    cfg = config_lib.get_config(FLAGS.config, **overrides)
-    predictor = serving.load_predictor(
-        cfg, step=FLAGS.step, int8=FLAGS.int8,
-        buckets=[int(b) for b in FLAGS.buckets],
-        calibration_files=FLAGS.calibration_images,
-        data_parallel=FLAGS.data_parallel)
+    if FLAGS.exported_dir:
+        from attentionalpoolingaction_tpu import export as export_lib
+
+        predictor = export_lib.load_exported(FLAGS.exported_dir)
+        served = FLAGS.exported_dir
+    elif FLAGS.workdir:
+        overrides = config_lib.parse_overrides(FLAGS.set)
+        overrides["workdir"] = FLAGS.workdir
+        cfg = config_lib.get_config(FLAGS.config, **overrides)
+        predictor = serving.load_predictor(
+            cfg, step=FLAGS.step, int8=FLAGS.int8,
+            buckets=[int(b) for b in FLAGS.buckets],
+            calibration_files=FLAGS.calibration_images,
+            data_parallel=FLAGS.data_parallel, use_ema=FLAGS.ema)
+        served = FLAGS.config
+    else:
+        raise app.UsageError("one of --workdir / --exported_dir required")
     logging.info("compiling %s buckets...", predictor.buckets)
     predictor.warmup()
     server = make_server(predictor, FLAGS.host, FLAGS.port, FLAGS.topk,
                          FLAGS.max_batch, FLAGS.max_wait_ms)
-    logging.info("serving %s on %s:%d (int8=%s)", FLAGS.config, FLAGS.host,
-                 FLAGS.port, FLAGS.int8)
+    logging.info("serving %s on %s:%d (int8=%s)", served, FLAGS.host,
+                 FLAGS.port, predictor.int8)
 
     # Preemption-graceful shutdown (the serving-side mirror of train()'s
     # SIGTERM handling): stop accepting, let in-flight handlers finish,

@@ -131,79 +131,18 @@ class ServingStats:
         return "\n".join(lines) + "\n"
 
 
-class Predictor:
-    """Checkpointed model -> padded, bucketed, jitted batch inference.
+class BucketedPredictor:
+    """Shape-bucketed padded batch inference over an opaque forward fn.
 
-    Input contract: images may be uint8 (raw 0-255 RGB — the serving path;
-    4x less host->device traffic, mean-subtracted on device) or float32
-    ALREADY mean-subtracted (library callers; floats pass through
-    normalize_images unchanged).  ``calibration_images``, when given, must
-    be mean-subtracted float (they feed the float calibration forward
-    directly)."""
+    The machinery shared by the live :class:`Predictor` (checkpoint ->
+    jitted Flax apply) and :class:`export.ExportedPredictor` (deserialized
+    AOT artifact): bucket selection, padding, chunking, dispatch stats,
+    probability post-processing, and the host-side cv2 preprocessing.
+    Subclass ``__init__`` must set ``cfg``, ``spec``, ``int8``, ``stats``,
+    ``mesh``, ``buckets``, ``_weights`` and ``_fwd(weights, images)``."""
 
-    def __init__(self, cfg: config_lib.TrainConfig, params, batch_stats, *,
-                 int8: bool = False, buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 calibration_images: Any = None,
-                 stats: ServingStats | None = None,
-                 data_parallel: bool = False):
-        self.cfg = cfg
-        self.spec = get_dataset(cfg.dataset)
-        self.int8 = int8
-        self.stats = stats or ServingStats()
-        # data-parallel serving: shard each padded batch over every local
-        # chip (1-axis mesh).  Buckets round UP to multiples of the device
-        # count so the shard sizes stay static per bucket.  Weights are
-        # replicated once; XLA partitions the forward, no collectives on
-        # the output path (logits stay batch-sharded, fetched host-side).
-        self.mesh = None
-        if data_parallel and len(jax.local_devices()) > 1:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            n = len(jax.local_devices())
-            buckets = [-(-b // n) * n for b in buckets]
-            self.mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
-            self._img_sharding = NamedSharding(self.mesh,
-                                               PartitionSpec("data"))
-            self._repl = NamedSharding(self.mesh, PartitionSpec())
-        self.buckets = tuple(sorted(set(buckets)))
-        # weights are passed as jit ARGUMENTS (not closed over): a closure
-        # would re-stage the full ~170MB param tree as constants into each
-        # bucket's executable (4 buckets => 4 embedded copies + slow
-        # compiles); as device-array args they are shared across buckets
-        if int8:
-            variables = {"params": params, "batch_stats": batch_stats}
-            folded = inf.fold_backbone(variables, cfg.backbone)
-            head = params["head"]
-            act_scales = None
-            if calibration_images is not None:
-                act_scales = inf.calibrate_act_scales(
-                    folded, head, [np.asarray(calibration_images,
-                                              np.float32)],
-                    backbone=cfg.backbone,
-                    pooling="avg" if cfg.pooling == "avg" else "attention")
-            self._weights = (inf.quantize_folded(folded), head)
-
-            def fwd(weights, images):
-                q, head = weights
-                return inf.folded_forward(
-                    q, head, normalize_images(images),
-                    backbone=cfg.backbone,
-                    pooling="avg" if cfg.pooling == "avg" else "attention",
-                    act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
-        else:
-            model = build_model(cfg)
-            self._weights = {"params": params, "batch_stats": batch_stats}
-
-            def fwd(weights, images):
-                return model.apply(weights, normalize_images(images),
-                                   train=False)["logits"]
-
-        if self.mesh is not None:
-            repl = jax.tree.map(lambda _: self._repl, self._weights)
-            self._weights = jax.device_put(self._weights, repl)
-            self._fwd = jax.jit(fwd, in_shardings=(repl, self._img_sharding),
-                                out_shardings=self._img_sharding)
-        else:
-            self._fwd = jax.jit(fwd)
+    cfg: config_lib.TrainConfig
+    buckets: tuple
 
     # -- shape management ------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -284,6 +223,81 @@ class Predictor:
                                         "prob": float(p[c])}
                                        for c in top]}
         return results
+
+
+class Predictor(BucketedPredictor):
+    """Checkpointed model -> padded, bucketed, jitted batch inference.
+
+    Input contract: images may be uint8 (raw 0-255 RGB — the serving path;
+    4x less host->device traffic, mean-subtracted on device) or float32
+    ALREADY mean-subtracted (library callers; floats pass through
+    normalize_images unchanged).  ``calibration_images``, when given, must
+    be mean-subtracted float (they feed the float calibration forward
+    directly)."""
+
+    def __init__(self, cfg: config_lib.TrainConfig, params, batch_stats, *,
+                 int8: bool = False, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 calibration_images: Any = None,
+                 stats: ServingStats | None = None,
+                 data_parallel: bool = False):
+        self.cfg = cfg
+        self.spec = get_dataset(cfg.dataset)
+        self.int8 = int8
+        self.stats = stats or ServingStats()
+        # data-parallel serving: shard each padded batch over every local
+        # chip (1-axis mesh).  Buckets round UP to multiples of the device
+        # count so the shard sizes stay static per bucket.  Weights are
+        # replicated once; XLA partitions the forward, no collectives on
+        # the output path (logits stay batch-sharded, fetched host-side).
+        self.mesh = None
+        if data_parallel and len(jax.local_devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            n = len(jax.local_devices())
+            buckets = [-(-b // n) * n for b in buckets]
+            self.mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+            self._img_sharding = NamedSharding(self.mesh,
+                                               PartitionSpec("data"))
+            self._repl = NamedSharding(self.mesh, PartitionSpec())
+        self.buckets = tuple(sorted(set(buckets)))
+        # weights are passed as jit ARGUMENTS (not closed over): a closure
+        # would re-stage the full ~170MB param tree as constants into each
+        # bucket's executable (4 buckets => 4 embedded copies + slow
+        # compiles); as device-array args they are shared across buckets
+        if int8:
+            variables = {"params": params, "batch_stats": batch_stats}
+            folded = inf.fold_backbone(variables, cfg.backbone)
+            head = params["head"]
+            act_scales = None
+            if calibration_images is not None:
+                act_scales = inf.calibrate_act_scales(
+                    folded, head, [np.asarray(calibration_images,
+                                              np.float32)],
+                    backbone=cfg.backbone,
+                    pooling="avg" if cfg.pooling == "avg" else "attention")
+            self._weights = (inf.quantize_folded(folded), head)
+
+            def fwd(weights, images):
+                q, head = weights
+                return inf.folded_forward(
+                    q, head, normalize_images(images),
+                    backbone=cfg.backbone,
+                    pooling="avg" if cfg.pooling == "avg" else "attention",
+                    act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
+        else:
+            model = build_model(cfg)
+            self._weights = {"params": params, "batch_stats": batch_stats}
+
+            def fwd(weights, images):
+                return model.apply(weights, normalize_images(images),
+                                   train=False)["logits"]
+
+        if self.mesh is not None:
+            repl = jax.tree.map(lambda _: self._repl, self._weights)
+            self._weights = jax.device_put(self._weights, repl)
+            self._fwd = jax.jit(fwd, in_shardings=(repl, self._img_sharding),
+                                out_shardings=self._img_sharding)
+        else:
+            self._fwd = jax.jit(fwd)
 
 
 class DynamicBatcher:
@@ -376,9 +390,13 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
                    int8: bool = False,
                    buckets: Sequence[int] = DEFAULT_BUCKETS,
                    calibration_files: Sequence[str] = (),
-                   data_parallel: bool = False) -> Predictor:
+                   data_parallel: bool = False,
+                   use_ema: bool = False) -> Predictor:
     """Restore the latest (or ``step``) checkpoint under cfg.workdir and
     build a ready Predictor.
+
+    ``use_ema`` serves the EMA weights (config.ema_decay) — the standard
+    deployment choice when a run trained with parameter averaging.
 
     int8 activation scales: with ``calibration_files`` (paths to
     representative images) a static-scale calibration pass runs over
@@ -394,6 +412,12 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
     if restored is None:
         raise FileNotFoundError(
             f"no checkpoint under {cfg.workdir}/checkpoints")
+    if use_ema:
+        if restored.ema_params is None:
+            raise ValueError(
+                "use_ema=True but the checkpoint has no ema_params — "
+                "train with --set ema_decay=0.9999 (or similar) first")
+        restored = restored.replace(params=restored.ema_params)
     calib = None
     if int8 and calibration_files:
         imgs = []

@@ -35,6 +35,10 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # parameter EMA (config.ema_decay — slim's moving_average_decay);
+    # None (an empty pytree node) when disabled, so checkpoints and
+    # shardings are unchanged unless the feature is on
+    ema_params: Any = None
 
 
 def setup_compilation_cache(cfg: config_lib.TrainConfig) -> None:
@@ -240,6 +244,11 @@ def create_state(cfg: config_lib.TrainConfig, *, rng=None) -> TrainState:
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
+        # a REAL copy, not jnp.asarray: aliased param/EMA buffers would be
+        # donated twice by the train step (donate_argnums) and crash
+        ema_params=(jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                 variables["params"])
+                    if cfg.ema_decay else None),
     ), spec, model, tx
 
 
@@ -277,9 +286,20 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        new_ema = state.ema_params
+        if cfg.ema_decay:
+            # TF ExponentialMovingAverage(decay, num_updates=step)
+            # semantics: effective decay min(decay, (1+t)/(10+t)) — early
+            # EMA tracks params instead of the random init
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params)
         new_state = TrainState(
             step=state.step + 1, params=new_params,
-            batch_stats=new_stats, opt_state=new_opt)
+            batch_stats=new_stats, opt_state=new_opt,
+            ema_params=new_ema)
         return new_state, metrics
 
     if mesh is None:

@@ -146,6 +146,63 @@ def test_serve_cli_sigterm_drains(tmp_path):
 
 
 @pytest.mark.slow
+def test_export_cli_then_serve_exported(tmp_path):
+    """Deployment path end-to-end: train -> export_cli (AOT artifact with
+    built-in load-back parity gate) -> serve_cli --exported_dir serves it
+    over HTTP without touching the checkpoint."""
+    import http.client
+    import socket
+
+    spec = get_dataset("mpii")
+    train_p = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(train_p, spec, 8, image_size=80)
+    workdir = str(tmp_path / "run")
+    r = run_cli("attentionalpoolingaction_tpu.train_cli",
+                "--config", "mpii_rank1_224",
+                "--train_pattern", train_p, "--workdir", workdir,
+                "--num_steps", "1", "--set", "checkpoint_every=1", *COMMON)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    artifact = str(tmp_path / "artifact")
+    r = run_cli("attentionalpoolingaction_tpu.export_cli",
+                "--config", "mpii_rank1_224", "--workdir", workdir,
+                "--out_dir", artifact, "--buckets", "1,2",
+                "--set", "backbone=resnet_v1_50", "--set", "image_size=64",
+                "--set", "bf16_backbone=False", "--set", "resize_min=72")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EXPORT PARITY max|dprob| = 0" in r.stdout, r.stdout[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m",
+         "attentionalpoolingaction_tpu.serve_cli",
+         "--exported_dir", artifact, "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO,
+                       "JAX_PLATFORMS": "cpu"})
+    try:
+        read_until(p, f"serving {artifact} on")
+        import cv2
+        import numpy as np
+
+        ok, buf = cv2.imencode(".jpg", np.random.default_rng(0).integers(
+            0, 255, (80, 80, 3), np.uint8))
+        assert ok
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/predict", body=bytes(buf.tobytes()))
+        res = json.loads(conn.getresponse().read())
+        assert len(res["topk"]) == 5, res
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["buckets"] == [1, 2]   # from the artifact manifest
+    finally:
+        p.kill()
+        p.wait(timeout=60)
+
+
+@pytest.mark.slow
 def test_sigterm_preempts_cleanly(tmp_path):
     """Pod preemption contract: SIGTERM mid-run -> the loop checkpoints
     the current step (checkpoint_every is far away), logs, exits 0."""

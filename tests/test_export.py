@@ -1,0 +1,167 @@
+"""AOT export artifacts (jax.export): roundtrip parity with the live
+Predictor, symbolic-batch coverage, int8 variant, dtype dispatch."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentionalpoolingaction_tpu import export as export_lib
+from attentionalpoolingaction_tpu import serving
+from attentionalpoolingaction_tpu.config import TrainConfig
+from attentionalpoolingaction_tpu.models.action_model import ActionModel
+
+
+def _tiny_cfg(**kw):
+    return TrainConfig(dataset="mpii", backbone="resnet_v1_50",
+                       pooling="attention", rank=1, image_size=64,
+                       batch_size=4, bf16_backbone=False, resize_min=72,
+                       **kw)
+
+
+def _variables(cfg):
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    return model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                      train=False)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cfg = _tiny_cfg()
+    v = _variables(cfg)
+    live = serving.Predictor(cfg, v["params"], v["batch_stats"],
+                             buckets=(2, 4))
+    out = str(tmp_path_factory.mktemp("aot") / "artifact")
+    manifest = export_lib.export_predictor(live, out)
+    return cfg, live, out, manifest
+
+
+def test_manifest_and_files(artifact):
+    cfg, _, out, manifest = artifact
+    assert manifest["format_version"] == export_lib.FORMAT_VERSION
+    assert manifest["config"]["image_size"] == 64
+    assert manifest["buckets"] == [2, 4]
+    assert set(manifest["input_dtypes"]) == {"uint8", "float32"}
+    assert "tpu" in manifest["platforms"]  # deployable artifact even
+    # when exported from a CPU dev box
+    files = set(os.listdir(out))
+    assert {"manifest.json", "weights.npz", "fwd_uint8.bin",
+            "fwd_float32.bin"} <= files
+    # manifest on disk == returned manifest
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+
+
+def test_roundtrip_matches_live_predictor(artifact):
+    """Exported artifact reproduces the live predictor bit-for-bit on
+    uint8 AND float32 inputs, including padded odd batch sizes (the
+    symbolic batch dim must not perturb numerics)."""
+    _, live, out, _ = artifact
+    loaded = export_lib.load_exported(out)
+    assert loaded.buckets == live.buckets
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 255, (5, 64, 64, 3), np.uint8)   # 5 -> chunks 4+1
+    np.testing.assert_array_equal(loaded.predict_arrays(u8),
+                                  live.predict_arrays(u8))
+    f32 = rng.normal(size=(3, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_array_equal(loaded.predict_arrays(f32),
+                                  live.predict_arrays(f32))
+    # stats flow through the shared bucketing machinery
+    snap = loaded.stats.snapshot()
+    assert snap["serving_device_dispatches_total"] == 3
+    assert snap["serving_padded_items_total"] == 2   # 5->pad1(2-bucket)+3->4
+
+
+def test_predict_bytes_parity(artifact):
+    """The full request path (cv2 decode/resize -> uint8 dispatch) gives
+    identical topk through the artifact."""
+    import cv2
+
+    _, live, out, _ = artifact
+    loaded = export_lib.load_exported(out)
+    rng = np.random.default_rng(2)
+    ok, buf = cv2.imencode(".jpg",
+                           rng.integers(0, 255, (80, 80, 3), np.uint8))
+    assert ok
+    blob = bytes(buf.tobytes())
+    assert loaded.predict_bytes([blob]) == live.predict_bytes([blob])
+
+
+def test_unexported_dtype_raises(artifact):
+    _, live, _, _ = artifact
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        export_lib.export_predictor(live, d, input_dtypes=(np.uint8,))
+        loaded = export_lib.load_exported(d)
+        with pytest.raises(TypeError, match="uint8"):
+            loaded.predict_arrays(np.zeros((1, 64, 64, 3), np.float32))
+
+
+def test_int8_artifact_roundtrip(tmp_path):
+    """The quantized BN-folded path exports too (int8 weight leaves ship
+    through the raw-bytes npz), matching its live predictor exactly."""
+    cfg = _tiny_cfg()
+    v = _variables(cfg)
+    live = serving.Predictor(cfg, v["params"], v["batch_stats"],
+                             int8=True, buckets=(2,))
+    out = str(tmp_path / "int8_artifact")
+    manifest = export_lib.export_predictor(live, out,
+                                           input_dtypes=(np.uint8,))
+    assert manifest["int8"] is True
+    assert any(leaf["dtype"] == "int8" for leaf in manifest["leaves"])
+    loaded = export_lib.load_exported(out)
+    assert loaded.int8
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    np.testing.assert_array_equal(loaded.predict_arrays(u8),
+                                  live.predict_arrays(u8))
+
+
+def test_data_parallel_predictor_refuses_export(tmp_path):
+    cfg = _tiny_cfg()
+    v = _variables(cfg)
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    live = serving.Predictor(cfg, v["params"], v["batch_stats"],
+                             buckets=(8,), data_parallel=True)
+    with pytest.raises(ValueError, match="data_parallel"):
+        export_lib.export_predictor(live, str(tmp_path / "x"))
+
+
+def test_exported_http_serving(artifact):
+    """serve_cli.make_server runs unchanged over an ExportedPredictor —
+    the AOT artifact plugs into the same HTTP/batching stack."""
+    import http.client
+    import threading
+
+    from attentionalpoolingaction_tpu import serve_cli
+
+    _, _, out, _ = artifact
+    loaded = export_lib.load_exported(out)
+    server = serve_cli.make_server(loaded, "127.0.0.1", 0, topk=3,
+                                   max_batch=4, max_wait_ms=1.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+        assert health["dataset"] == "mpii"
+        import cv2
+
+        ok, buf = cv2.imencode(".jpg", np.zeros((70, 70, 3), np.uint8))
+        assert ok
+        conn.request("POST", "/predict", body=bytes(buf.tobytes()))
+        res = json.loads(conn.getresponse().read())
+        assert len(res["topk"]) == 3
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
