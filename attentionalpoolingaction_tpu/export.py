@@ -149,7 +149,8 @@ class ExportedPredictor(serving.BucketedPredictor):
     no model code, checkpoint manager, or TF import on the load path."""
 
     def __init__(self, artifact_dir: str, *,
-                 stats: serving.ServingStats | None = None):
+                 stats: serving.ServingStats | None = None,
+                 data_parallel: bool = False):
         with open(os.path.join(artifact_dir, MANIFEST)) as f:
             manifest = json.load(f)
         if manifest["format_version"] != FORMAT_VERSION:
@@ -161,16 +162,35 @@ class ExportedPredictor(serving.BucketedPredictor):
         self.spec = get_dataset(self.cfg.dataset)
         self.int8 = bool(manifest["int8"])
         self.stats = stats or serving.ServingStats()
-        self.mesh = None
         self.buckets = tuple(manifest["buckets"])
         self._weights = load_weights(artifact_dir, manifest)
+
+        # data-parallel at SERVE time (artifacts are exported
+        # single-device so they stay topology-portable): shard each
+        # padded batch over a 1-axis mesh of the local chips, weights
+        # replicated — same recipe as the live Predictor
+        self.mesh = None
+        jit_kw: dict = {}
+        if data_parallel and len(jax.local_devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            n = len(jax.local_devices())
+            self.buckets = tuple(sorted({-(-b // n) * n
+                                         for b in self.buckets}))
+            self.mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            img_sh = NamedSharding(self.mesh, PartitionSpec("data"))
+            self._weights = [jax.device_put(w, repl)
+                             for w in self._weights]
+            jit_kw = dict(
+                in_shardings=([repl] * len(self._weights), img_sh),
+                out_shardings=img_sh)
 
         calls = {}
         for name in manifest["input_dtypes"]:
             with open(os.path.join(artifact_dir, f"fwd_{name}.bin"),
                       "rb") as f:
                 calls[np.dtype(name)] = jax.jit(jex.deserialize(
-                    f.read()).call)
+                    f.read()).call, **jit_kw)
         self._calls = calls
 
         def dispatch(weights, images):
@@ -186,6 +206,7 @@ class ExportedPredictor(serving.BucketedPredictor):
 
 
 def load_exported(artifact_dir: str, *,
-                  stats: serving.ServingStats | None = None
-                  ) -> ExportedPredictor:
-    return ExportedPredictor(artifact_dir, stats=stats)
+                  stats: serving.ServingStats | None = None,
+                  data_parallel: bool = False) -> ExportedPredictor:
+    return ExportedPredictor(artifact_dir, stats=stats,
+                             data_parallel=data_parallel)

@@ -155,7 +155,8 @@ def main(argv):
     if FLAGS.exported_dir:
         from attentionalpoolingaction_tpu import export as export_lib
 
-        predictor = export_lib.load_exported(FLAGS.exported_dir)
+        predictor = export_lib.load_exported(
+            FLAGS.exported_dir, data_parallel=FLAGS.data_parallel)
         served = FLAGS.exported_dir
     elif FLAGS.workdir:
         overrides = config_lib.parse_overrides(FLAGS.set)

@@ -133,6 +133,28 @@ def test_data_parallel_predictor_refuses_export(tmp_path):
         export_lib.export_predictor(live, str(tmp_path / "x"))
 
 
+def test_exported_data_parallel_load(artifact):
+    """A single-device artifact loads in data-parallel mode: buckets
+    round up to chip multiples, the batch shards over all local devices,
+    and probabilities equal the single-device load exactly."""
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    _, _, out, _ = artifact
+    plain = export_lib.load_exported(out)
+    dp = export_lib.load_exported(out, data_parallel=True)
+    n = len(jax.local_devices())
+    assert dp.mesh is not None
+    assert all(b % n == 0 for b in dp.buckets)
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 255, (5, 64, 64, 3), np.uint8)
+    np.testing.assert_array_equal(dp.predict_arrays(u8),
+                                  plain.predict_arrays(u8))
+    # the dispatch really spans the mesh
+    pad = dp.buckets[0]
+    logits = dp._fwd(dp._weights, np.zeros((pad, 64, 64, 3), np.uint8))
+    assert len(logits.sharding.device_set) == n
+
+
 def test_exported_http_serving(artifact):
     """serve_cli.make_server runs unchanged over an ExportedPredictor —
     the AOT artifact plugs into the same HTTP/batching stack."""
