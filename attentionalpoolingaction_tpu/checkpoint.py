@@ -43,6 +43,18 @@ def restore(manager: ocp.CheckpointManager, abstract_state, step=None):
                            args=ocp.args.StandardRestore(abstract_state))
 
 
+def saved_tree_keys(manager: ocp.CheckpointManager, step=None) -> set:
+    """Top-level keys present in a saved TrainState (e.g. to detect
+    whether a checkpoint carries ``ema_params`` before building the
+    restore target — a structure mismatch raises deep inside Orbax)."""
+    step = step if step is not None else manager.latest_step()
+    if step is None:
+        return set()
+    path = str(manager.directory) + f"/{step}/default"
+    meta = ocp.PyTreeCheckpointer().metadata(path).item_metadata.tree
+    return {k for k, v in meta.items() if v is not None}
+
+
 def restore_for_eval(manager: ocp.CheckpointManager, step=None):
     """Restore only what inference needs (params + batch_stats + step).
 

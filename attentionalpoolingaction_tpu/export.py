@@ -162,27 +162,20 @@ class ExportedPredictor(serving.BucketedPredictor):
         self.spec = get_dataset(self.cfg.dataset)
         self.int8 = bool(manifest["int8"])
         self.stats = stats or serving.ServingStats()
-        self.buckets = tuple(manifest["buckets"])
         self._weights = load_weights(artifact_dir, manifest)
 
         # data-parallel at SERVE time (artifacts are exported
-        # single-device so they stay topology-portable): shard each
-        # padded batch over a 1-axis mesh of the local chips, weights
-        # replicated — same recipe as the live Predictor
-        self.mesh = None
+        # single-device so they stay topology-portable); the recipe is
+        # the shared BucketedPredictor._init_data_parallel — one source
+        # of truth with the live Predictor
+        self.buckets, img_sh, repl_sh = self._init_data_parallel(
+            data_parallel, manifest["buckets"])
         jit_kw: dict = {}
-        if data_parallel and len(jax.local_devices()) > 1:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            n = len(jax.local_devices())
-            self.buckets = tuple(sorted({-(-b // n) * n
-                                         for b in self.buckets}))
-            self.mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
-            repl = NamedSharding(self.mesh, PartitionSpec())
-            img_sh = NamedSharding(self.mesh, PartitionSpec("data"))
-            self._weights = [jax.device_put(w, repl)
+        if self.mesh is not None:
+            self._weights = [jax.device_put(w, repl_sh)
                              for w in self._weights]
             jit_kw = dict(
-                in_shardings=([repl] * len(self._weights), img_sh),
+                in_shardings=([repl_sh] * len(self._weights), img_sh),
                 out_shardings=img_sh)
 
         calls = {}
@@ -203,6 +196,16 @@ class ExportedPredictor(serving.BucketedPredictor):
             return calls[key](weights, images)
 
         self._fwd = dispatch
+
+    def warmup(self, dtypes=None):
+        """Default to the manifest's exported dtypes: the base class's
+        uint8-only default would crash the startup warmup of an artifact
+        exported with ``input_dtypes=(float32,)`` — the artifact knows
+        exactly which dtype traces exist, so warm those."""
+        if dtypes is None:
+            dtypes = [_restore_dtype(n)
+                      for n in self.manifest["input_dtypes"]]
+        super().warmup(dtypes)
 
 
 def load_exported(artifact_dir: str, *,

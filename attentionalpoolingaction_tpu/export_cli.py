@@ -67,16 +67,27 @@ def main(argv):
                  manifest["platforms"])
 
     # load-back parity gate: the artifact must reproduce the live
-    # predictor bit-for-bit on this host's platform
+    # predictor bit-for-bit on this host's platform — checked for EVERY
+    # exported dtype trace (a uint8-only probe would crash on a
+    # float32-only export and let a corrupt fwd_float32.bin ship)
     loaded = export_lib.load_exported(FLAGS.out_dir)
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 255, (3, cfg.image_size, cfg.image_size, 3),
-                        np.uint8)
-    diff = float(np.abs(loaded.predict_arrays(imgs)
-                        - predictor.predict_arrays(imgs)).max())
-    print(f"EXPORT PARITY max|dprob| = {diff:.3g}")
-    if diff > 1e-6:
-        raise SystemExit(f"export parity failed: {diff}")
+    shape = (3, cfg.image_size, cfg.image_size, 3)
+    worst = 0.0
+    for name in manifest["input_dtypes"]:
+        dt = export_lib._restore_dtype(name)
+        raw = rng.integers(0, 255, shape)
+        if dt == np.uint8:
+            imgs = raw.astype(np.uint8)
+        else:
+            # float traces take mean-subtracted images (serving contract)
+            imgs = (raw.astype(np.float32) - 115.0).astype(dt)
+        diff = float(np.abs(loaded.predict_arrays(imgs)
+                            - predictor.predict_arrays(imgs)).max())
+        print(f"EXPORT PARITY[{name}] max|dprob| = {diff:.3g}")
+        worst = max(worst, diff)
+    if worst > 1e-6:
+        raise SystemExit(f"export parity failed: {worst}")
 
 
 if __name__ == "__main__":

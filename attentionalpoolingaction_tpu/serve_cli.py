@@ -35,7 +35,9 @@ flags.DEFINE_string(
     "exported_dir", None,
     "serve an AOT artifact (export_cli) instead of a checkpoint: no "
     "model build or checkpoint restore on the serving path; --config/"
-    "--workdir/--int8/--buckets come from the artifact manifest")
+    "--workdir/--int8/--buckets come from the artifact manifest, and "
+    "combining checkpoint-only flags (--ema/--step/--set/...) with "
+    "this flag is an error")
 flags.DEFINE_integer("port", 8800, "HTTP port")
 flags.DEFINE_string("host", "127.0.0.1", "bind address")
 flags.DEFINE_bool("int8", False, "serve the quantized BN-folded path")
@@ -155,6 +157,22 @@ def main(argv):
     if FLAGS.exported_dir:
         from attentionalpoolingaction_tpu import export as export_lib
 
+        # checkpoint-only flags have NO effect on an AOT artifact (its
+        # weights/precision/buckets were fixed at export): silently
+        # dropping e.g. --ema would serve the wrong weights, so refuse
+        ignored = [f"--{name}" for name, dflt in (
+            ("int8", False), ("ema", False), ("step", None),
+            ("calibration_images", []), ("set", []),
+            ("buckets", ["1", "8", "32"]))
+            if getattr(FLAGS, name) != dflt]
+        if FLAGS.workdir:
+            ignored.append("--workdir")
+        if ignored:
+            raise app.UsageError(
+                f"{', '.join(ignored)} have no effect with "
+                "--exported_dir (the artifact fixes weights, precision "
+                "and buckets at export time — re-run export_cli with "
+                "these flags instead)")
         predictor = export_lib.load_exported(
             FLAGS.exported_dir, data_parallel=FLAGS.data_parallel)
         served = FLAGS.exported_dir

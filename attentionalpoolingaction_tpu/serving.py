@@ -144,6 +144,27 @@ class BucketedPredictor:
     cfg: config_lib.TrainConfig
     buckets: tuple
 
+    # -- data-parallel setup (shared: live + exported) -------------------
+    def _init_data_parallel(self, data_parallel: bool, buckets):
+        """The one data-parallel serving recipe: round buckets UP to
+        local-device multiples (so per-chip shard sizes stay static per
+        bucket), build a 1-axis mesh over the local chips, and return
+        ``(buckets, image_sharding, replicated_sharding)``.  Sets
+        ``self.mesh`` (None => single-device dispatch: disabled, or a
+        1-chip host).  Weights replicate once; XLA partitions the
+        forward with no collectives on the output path (logits stay
+        batch-sharded, fetched host-side)."""
+        self.mesh = None
+        if not (data_parallel and len(jax.local_devices()) > 1):
+            return tuple(sorted(set(buckets))), None, None
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        n = len(jax.local_devices())
+        self.mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+        rounded = tuple(sorted({-(-int(b) // n) * n for b in buckets}))
+        return (rounded,
+                NamedSharding(self.mesh, PartitionSpec("data")),
+                NamedSharding(self.mesh, PartitionSpec()))
+
     # -- shape management ------------------------------------------------
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -244,21 +265,8 @@ class Predictor(BucketedPredictor):
         self.spec = get_dataset(cfg.dataset)
         self.int8 = int8
         self.stats = stats or ServingStats()
-        # data-parallel serving: shard each padded batch over every local
-        # chip (1-axis mesh).  Buckets round UP to multiples of the device
-        # count so the shard sizes stay static per bucket.  Weights are
-        # replicated once; XLA partitions the forward, no collectives on
-        # the output path (logits stay batch-sharded, fetched host-side).
-        self.mesh = None
-        if data_parallel and len(jax.local_devices()) > 1:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            n = len(jax.local_devices())
-            buckets = [-(-b // n) * n for b in buckets]
-            self.mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
-            self._img_sharding = NamedSharding(self.mesh,
-                                               PartitionSpec("data"))
-            self._repl = NamedSharding(self.mesh, PartitionSpec())
-        self.buckets = tuple(sorted(set(buckets)))
+        self.buckets, img_sh, repl_sh = self._init_data_parallel(
+            data_parallel, buckets)
         # weights are passed as jit ARGUMENTS (not closed over): a closure
         # would re-stage the full ~170MB param tree as constants into each
         # bucket's executable (4 buckets => 4 embedded copies + slow
@@ -292,10 +300,10 @@ class Predictor(BucketedPredictor):
                                    train=False)["logits"]
 
         if self.mesh is not None:
-            repl = jax.tree.map(lambda _: self._repl, self._weights)
+            repl = jax.tree.map(lambda _: repl_sh, self._weights)
             self._weights = jax.device_put(self._weights, repl)
-            self._fwd = jax.jit(fwd, in_shardings=(repl, self._img_sharding),
-                                out_shardings=self._img_sharding)
+            self._fwd = jax.jit(fwd, in_shardings=(repl, img_sh),
+                                out_shardings=img_sh)
         else:
             self._fwd = jax.jit(fwd)
 

@@ -351,6 +351,30 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
         # consumes (state replicated / head TP-sharded) — no intermediate
         # single-device copy, and the resharding is explicit.
         from attentionalpoolingaction_tpu import checkpoint as ckpt
+
+        # ema_decay may have been toggled between the checkpointed run and
+        # this resume; Orbax restore needs target/source tree structures to
+        # MATCH, so reconcile before building the abstract target:
+        #   off -> on: restore without EMA, then seed it from the restored
+        #              params (EMA starts tracking from the resume point)
+        #   on -> off: drop the saved EMA (warn — it is not deleted on
+        #              disk, just unused by this run)
+        ckpt_has_ema = "ema_params" in ckpt.saved_tree_keys(
+            checkpoint_manager)
+        seed_ema_from_params = False
+        if cfg.ema_decay and not ckpt_has_ema:
+            log.warning(
+                "resume: checkpoint has no ema_params but ema_decay=%s — "
+                "seeding EMA from the restored params at this step",
+                cfg.ema_decay)
+            state = state.replace(ema_params=None)
+            seed_ema_from_params = True
+        elif ckpt_has_ema and not cfg.ema_decay:
+            log.warning(
+                "resume: checkpoint carries ema_params but ema_decay is "
+                "unset — the saved EMA will not be updated or re-saved")
+            state = state.replace(
+                ema_params=jax.tree.map(lambda x: x, state.params))
         if mesh is not None:
             shardings = _train_state_shardings(cfg, mesh, state)
             abstract = jax.tree.map(
@@ -361,6 +385,11 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
         state = ckpt.restore(checkpoint_manager, abstract)
+        if seed_ema_from_params:
+            state = state.replace(ema_params=jax.tree.map(
+                lambda x: jnp.array(x, copy=True), state.params))
+        elif ckpt_has_ema and not cfg.ema_decay:
+            state = state.replace(ema_params=None)
         log.info("resumed from checkpoint at step %d", int(state.step))
     step_fn = make_train_step(model, spec, cfg, tx, mesh)
 

@@ -170,7 +170,24 @@ def test_export_cli_then_serve_exported(tmp_path):
                 "--set", "backbone=resnet_v1_50", "--set", "image_size=64",
                 "--set", "bf16_backbone=False", "--set", "resize_min=72")
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "EXPORT PARITY max|dprob| = 0" in r.stdout, r.stdout[-2000:]
+    # the gate probes EVERY exported dtype trace
+    assert "EXPORT PARITY[uint8] max|dprob| = 0" in r.stdout, \
+        r.stdout[-2000:]
+    assert "EXPORT PARITY[float32] max|dprob| = 0" in r.stdout, \
+        r.stdout[-2000:]
+
+    # float32-only export: the parity gate must probe with floats (a
+    # uint8 probe used to crash AFTER writing the artifact — r3 review)
+    artifact_f32 = str(tmp_path / "artifact_f32")
+    r = run_cli("attentionalpoolingaction_tpu.export_cli",
+                "--config", "mpii_rank1_224", "--workdir", workdir,
+                "--out_dir", artifact_f32, "--buckets", "1",
+                "--input_dtypes", "float32",
+                "--set", "backbone=resnet_v1_50", "--set", "image_size=64",
+                "--set", "bf16_backbone=False", "--set", "resize_min=72")
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "EXPORT PARITY[float32] max|dprob| = 0" in r.stdout, \
+        r.stdout[-2000:]
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -102,6 +102,39 @@ def test_unexported_dtype_raises(artifact):
             loaded.predict_arrays(np.zeros((1, 64, 64, 3), np.float32))
 
 
+def test_float32_only_artifact_warmup(artifact, tmp_path):
+    """ExportedPredictor.warmup defaults to the MANIFEST's dtypes: a
+    float32-only artifact must warm up (serve_cli startup path) instead
+    of crashing on the base class's uint8 default."""
+    _, live, _, _ = artifact
+    out = str(tmp_path / "f32_only")
+    export_lib.export_predictor(live, out, input_dtypes=(np.float32,))
+    loaded = export_lib.load_exported(out)
+    loaded.warmup()   # crashed before the warmup override (r3 review)
+    with pytest.raises(TypeError, match="float32"):
+        loaded.predict_arrays(np.zeros((1, 64, 64, 3), np.uint8))
+
+
+def test_serve_cli_rejects_checkpoint_flags_with_exported_dir():
+    """--exported_dir + checkpoint-only flags is a loud UsageError, not a
+    silent model-selection misconfiguration (--ema dropped => wrong
+    weights served)."""
+    from absl import app as absl_app
+    from absl.testing import flagsaver
+
+    from attentionalpoolingaction_tpu import serve_cli
+
+    serve_cli.FLAGS.mark_as_parsed()
+    for kw, pat in ((dict(ema=True), "--ema"),
+                    (dict(step=7), "--step"),
+                    (dict(set=["ema_decay=0.9"]), "--set"),
+                    (dict(int8=True), "--int8"),
+                    (dict(workdir="/tmp/x"), "--workdir")):
+        with flagsaver.flagsaver(exported_dir="/nonexistent", **kw):
+            with pytest.raises(absl_app.UsageError, match=pat):
+                serve_cli.main([])
+
+
 def test_int8_artifact_roundtrip(tmp_path):
     """The quantized BN-folded path exports too (int8 weight leaves ship
     through the raw-bytes npz), matching its live predictor exactly."""
