@@ -106,8 +106,21 @@ def quantize_folded(folded):
     return {k: q(v) for k, v in folded.items()}
 
 
-def _conv(x, layer, kernel_size, stride, *, cid, act_scales, capture, dtype):
-    """One folded conv with slim conv2d_same padding (models/resnet.py)."""
+def _conv(x, layer, kernel_size, stride, *, cid, act_scales, capture, dtype,
+          dot_1x1=False):
+    """One folded conv with slim conv2d_same padding (models/resnet.py).
+
+    ``dot_1x1``: compute 1x1 stride-1 convs as 2D ``dot_general`` over
+    (B*H*W, Cin) instead of ``lax.conv``.  Measured motivation (v5e,
+    scripts/tpu_fwd_experiments.py): XLA's int8 MATMUL runs at 323-347
+    TOP/s (~88% of the 394 int8 peak) while its int8 CONV lowering stays
+    near the bf16 rate (1.06-1.17x) — the double-rate MXU path is only
+    reachable through dot.  End-to-end verdict: 1.00x at 224px (XLA's
+    layout copies absorb exactly the matmul gain) and 0.80-0.90x at
+    448px (larger maps, costlier relayouts) — so the DEFAULT (False) is
+    the measured optimum and this flag exists as the reproducible probe;
+    re-measure before ever enabling it.
+    """
     if capture is not None:              # calibration pass (eager only)
         capture[cid] = max(capture.get(cid, 0.0),
                            float(jnp.max(jnp.abs(x))))
@@ -120,6 +133,20 @@ def _conv(x, layer, kernel_size, stride, *, cid, act_scales, capture, dtype):
                         (pad_beg, pad_total - pad_beg), (0, 0)])
         padding = "VALID"
     strides = (stride, stride)
+    as_dot = dot_1x1 and kernel_size == 1 and stride == 1
+
+    def matmul_or_conv(inp, kernel, acc_dtype):
+        if as_dot:
+            b, h, w, cin = inp.shape
+            out = lax.dot_general(
+                inp.reshape(b * h * w, cin), kernel.reshape(cin, -1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype)
+            return out.reshape(b, h, w, -1)
+        return lax.conv_general_dilated(
+            inp, kernel, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=acc_dtype)
+
     if "kernel_q" in layer:              # int8 path
         if act_scales is not None and cid in act_scales:
             s_x = act_scales[cid]        # static python float -> constant
@@ -134,14 +161,11 @@ def _conv(x, layer, kernel_size, stride, *, cid, act_scales, capture, dtype):
                 1e-6) / 127.0
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                       -127, 127).astype(jnp.int8)
-        acc = lax.conv_general_dilated(
-            xq, layer["kernel_q"], strides, padding,
-            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+        acc = matmul_or_conv(xq, layer["kernel_q"], jnp.int32)
         y = acc.astype(jnp.float32) * (s_x * layer["scale"]) + layer["bias"]
     else:
-        y = lax.conv_general_dilated(
-            x.astype(dtype), layer["kernel"].astype(dtype), strides, padding,
-            dimension_numbers=_DN, preferred_element_type=jnp.float32)
+        y = matmul_or_conv(x.astype(dtype), layer["kernel"].astype(dtype),
+                           jnp.float32)
         y = y * layer["scale"] + layer["bias"]
     return y.astype(dtype)
 
@@ -149,7 +173,7 @@ def _conv(x, layer, kernel_size, stride, *, cid, act_scales, capture, dtype):
 def folded_forward(folded, head, images, *, backbone: str = "resnet_v1_101",
                    pooling: str = "attention", act_scales: dict | None = None,
                    capture: dict | None = None, dtype: Any = jnp.bfloat16,
-                   pose_head=None):
+                   pose_head=None, dot_1x1: bool = False):
     """Full serving forward: images -> folded backbone -> head -> outputs.
 
     ``folded`` is the output of :func:`fold_backbone` (float path) or
@@ -160,7 +184,7 @@ def folded_forward(folded, head, images, *, backbone: str = "resnet_v1_101",
     Jit with backbone/pooling/act_scales closed over (they are static).
     """
     conv = functools.partial(_conv, act_scales=act_scales, capture=capture,
-                             dtype=dtype)
+                             dtype=dtype, dot_1x1=dot_1x1)
     x = conv(images.astype(dtype), folded["conv1"], 7, 2, cid="conv1")
     x = jax.nn.relu(x)
     x = lax.reduce_window(x, jnp.asarray(-jnp.inf, x.dtype), lax.max,

@@ -97,6 +97,35 @@ def test_int8_close_to_float(static_scales):
     assert _cosine(got["logits"], ref["logits"]) > 0.9
 
 
+def test_dot_1x1_matches_conv():
+    """The dot_1x1 probe (1x1 convs as 2D dot_general — see the _conv
+    docstring's measured TPU verdict) must be numerically equivalent to
+    the lax.conv path: bit-exact on int8 (integer accumulation) and
+    ~exact on float."""
+    _, variables = _make_model()
+    images = jax.random.normal(jax.random.key(6), (2, 64, 64, 3))
+    folded = inf.fold_backbone(variables, "resnet_v1_50")
+    head = variables["params"]["head"]
+    f_conv = inf.folded_forward(folded, head, images,
+                                backbone="resnet_v1_50", dtype=jnp.float32)
+    f_dot = inf.folded_forward(folded, head, images,
+                               backbone="resnet_v1_50", dtype=jnp.float32,
+                               dot_1x1=True)
+    w = np.asarray(f_conv["logits"])
+    np.testing.assert_allclose(np.asarray(f_dot["logits"]), w, rtol=1e-4,
+                               atol=1e-4 * np.abs(w).max())
+    q = inf.quantize_folded(folded)
+    scales = inf.calibrate_act_scales(folded, head, [images],
+                                      backbone="resnet_v1_50")
+    q_conv = inf.folded_forward(q, head, images, backbone="resnet_v1_50",
+                                act_scales=scales, dtype=jnp.float32)
+    q_dot = inf.folded_forward(q, head, images, backbone="resnet_v1_50",
+                               act_scales=scales, dtype=jnp.float32,
+                               dot_1x1=True)
+    np.testing.assert_array_equal(np.asarray(q_conv["features"]),
+                                  np.asarray(q_dot["features"]))
+
+
 def test_quantize_roundtrip_error_bounded():
     _, variables = _make_model()
     folded = inf.fold_backbone(variables, "resnet_v1_50")
