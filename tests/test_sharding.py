@@ -231,6 +231,58 @@ def test_resume_under_2d_mesh_tp(rng, tmp_path):
     assert worst < 1e-5
 
 
+def test_resume_across_topologies(rng, tmp_path):
+    """Slice-resize recovery: a checkpoint written under one mesh restores
+    under a DIFFERENT topology (DP(8) -> data x model (4,2) -> single
+    device), because restore targets carry the NEW run's shardings and
+    Orbax reshards.  This is the real TPU preemption story — the replacement
+    slice need not match the one that died."""
+    import itertools
+
+    from jax.sharding import PartitionSpec as P
+
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+    cfg_dp = cfg8(dataset="hico", batch_size=8, checkpoint_every=2)
+    spec = get_dataset(cfg_dp.dataset)
+    batch = synth_batch(cfg_dp, spec, rng)
+    it = lambda: itertools.repeat(batch)
+
+    # continuous DP(8) run = the reference trajectory
+    sA, _ = train_lib.train(cfg_dp, train_iter=it(), num_steps=4)
+
+    # checkpoint at step 2 under DP(8)
+    mgr = ckpt_lib.make_manager(tmp_path / "ck_topo")
+    train_lib.train(cfg_dp, train_iter=it(), num_steps=2,
+                    checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+
+    # resume under (4,2) data x model: head restores SHARDED over a mesh
+    # that did not exist when the checkpoint was written
+    cfg_tp = cfg8(dataset="hico", batch_size=8, mesh_shape=(4, 2),
+                  mesh_axes=("data", "model"), checkpoint_every=100)
+    sB, _ = train_lib.train(cfg_tp, train_iter=it(), num_steps=4,
+                            checkpoint_manager=mgr)
+    assert int(sB.step) == 4
+    assert sB.params["head"]["attn_w"].sharding.spec == P(
+        None, "model", None)
+    worst = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)))
+    assert worst < 1e-4
+
+    # and down to a single device (mesh_shape=None -> no mesh)
+    cfg_1 = cfg8(dataset="hico", batch_size=8, mesh_shape=None,
+                 checkpoint_every=100)
+    sC, _ = train_lib.train(cfg_1, train_iter=it(), num_steps=4,
+                            checkpoint_manager=mgr)
+    assert int(sC.step) == 4
+    worst = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(sA.params), jax.tree.leaves(sC.params)))
+    assert worst < 1e-4
+
+
 def test_evaluate_builds_mesh_from_config(rng, tmp_path):
     """evaluate()/Evaluator shard the eval forward over the config mesh
     (BASELINE.json config #5's 'multi-crop eval on TPU mesh' is reachable
