@@ -8,6 +8,9 @@ Usage:
     python -m attentionalpoolingaction_tpu.predict_cli \
         --config mpii_rank1_224 --workdir /tmp/run1 \
         --images a.jpg b.jpg [--topk 5] [--batch_size 32] [--int8]
+    # or from an AOT artifact (export_cli) — no model code/checkpoint:
+    python -m attentionalpoolingaction_tpu.predict_cli \
+        --exported_dir /tmp/artifact --images a.jpg b.jpg
 """
 
 from __future__ import annotations
@@ -22,6 +25,11 @@ from attentionalpoolingaction_tpu import serving
 FLAGS = flags.FLAGS
 flags.DEFINE_string("config", "mpii_rank1_224", "preset name")
 flags.DEFINE_string("workdir", None, "run dir containing checkpoints/")
+flags.DEFINE_string(
+    "exported_dir", None,
+    "predict from an AOT artifact (export_cli) instead of a checkpoint; "
+    "checkpoint-only flags (--int8/--ema/--step/--set) are an error "
+    "with this (the artifact fixed them at export time)")
 flags.DEFINE_multi_string("images", [], "input image paths")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("batch_size", 32, "inference batch size")
@@ -33,7 +41,6 @@ flags.DEFINE_bool("ema", False,
                   "use the EMA weights (requires ema_decay training)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None, "force a JAX backend")
-flags.mark_flag_as_required("workdir")
 
 
 def main(argv):
@@ -42,13 +49,29 @@ def main(argv):
         import jax
 
         jax.config.update("jax_platforms", FLAGS.jax_platform)
-    overrides = config_lib.parse_overrides(FLAGS.set)
-    overrides["workdir"] = FLAGS.workdir
-    cfg = config_lib.get_config(FLAGS.config, **overrides)
+    if FLAGS.exported_dir:
+        from attentionalpoolingaction_tpu import export as export_lib
 
-    predictor = serving.load_predictor(
-        cfg, step=FLAGS.step, int8=FLAGS.int8,
-        buckets=(FLAGS.batch_size,), use_ema=FLAGS.ema)
+        ignored = [f"--{name}" for name, dflt in (
+            ("int8", False), ("ema", False), ("step", None),
+            ("set", []))
+            if getattr(FLAGS, name) != dflt]
+        if FLAGS.workdir:
+            ignored.append("--workdir")
+        if ignored:
+            raise app.UsageError(
+                f"{', '.join(ignored)} have no effect with "
+                "--exported_dir (re-run export_cli with them instead)")
+        predictor = export_lib.load_exported(FLAGS.exported_dir)
+    elif FLAGS.workdir:
+        overrides = config_lib.parse_overrides(FLAGS.set)
+        overrides["workdir"] = FLAGS.workdir
+        cfg = config_lib.get_config(FLAGS.config, **overrides)
+        predictor = serving.load_predictor(
+            cfg, step=FLAGS.step, int8=FLAGS.int8,
+            buckets=(FLAGS.batch_size,), use_ema=FLAGS.ema)
+    else:
+        raise app.UsageError("one of --workdir / --exported_dir required")
     paths = list(FLAGS.images)
     for lo in range(0, len(paths), FLAGS.batch_size):
         chunk = paths[lo:lo + FLAGS.batch_size]

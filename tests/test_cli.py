@@ -218,6 +218,27 @@ def test_export_cli_then_serve_exported(tmp_path):
         p.kill()
         p.wait(timeout=60)
 
+    # predict_cli consumes the same artifact (offline batch prediction,
+    # no checkpoint/model build) ...
+    import cv2
+    import numpy as np
+    img_p = str(tmp_path / "img.jpg")
+    cv2.imwrite(img_p, np.random.default_rng(0).integers(
+        0, 255, (80, 80, 3), np.uint8))
+    r = run_cli("attentionalpoolingaction_tpu.predict_cli",
+                "--exported_dir", artifact, "--images", img_p,
+                "--topk", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["image"] == img_p and len(res["topk"]) == 3
+
+    # ... and rejects checkpoint-only flags combined with it
+    r = run_cli("attentionalpoolingaction_tpu.predict_cli",
+                "--exported_dir", artifact, "--images", img_p, "--ema")
+    assert r.returncode != 0
+    assert "--ema" in (r.stderr + r.stdout)
+
 
 @pytest.mark.slow
 def test_sigterm_preempts_cleanly(tmp_path):
