@@ -46,6 +46,13 @@ class TrainConfig:
     # clipping is load-bearing at slim-era LRs (verified by divergence
     # probes on v5e) and harmless otherwise
     grad_clip_norm: float | None = 10.0
+    # gradient accumulation: split each global batch into this many
+    # microbatches and lax.scan value_and_grad over them inside the ONE
+    # fused train step (activation memory scales with batch/accum, grads
+    # average to the full-batch gradient).  With freeze_bn the update is
+    # numerically the full-batch update; with BN training, per-micro
+    # batch statistics apply (the standard microbatching caveat).
+    grad_accum_steps: int = 1
     # parameter EMA — the slim train template's moving_average_decay
     # (tf.train.ExponentialMovingAverage(decay, num_updates=global_step),
     # SURVEY.md section 2.1 train-driver row).  None disables; typical

@@ -278,11 +278,62 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
     the ``data`` axis and state is replicated; XLA inserts the gradient
     all-reduce (SURVEY.md section 2.4)."""
     loss_fn = make_loss_fn(model, spec, cfg)
+    accum = max(int(cfg.grad_accum_steps or 1), 1)
+
+    def _grads_one(params, stats, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(params, stats, batch,
+                                                   True)
+        return grads, new_stats, metrics
+
+    def _grads_accum(params, stats, batch):
+        # microbatch scan (config.grad_accum_steps): ONE compiled step,
+        # activations live for one microbatch at a time, grads/metrics
+        # average to the full-batch values; BN running stats chain
+        # through the scan (each microbatch updates them in sequence)
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b % accum:
+            raise ValueError(
+                f"per-host batch {b} not divisible by "
+                f"grad_accum_steps {accum}")
+        if mesh is not None and (b // accum) % mesh.shape["data"]:
+            raise ValueError(
+                f"microbatch {b // accum} (batch {b} / accum {accum}) "
+                f"not divisible by the data-axis size "
+                f"{mesh.shape['data']} — SPMD would replicate each "
+                "microbatch instead of sharding it")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum, b // accum) + x.shape[1:]), batch)
+        if mesh is not None:
+            # keep the microbatch dim sharded over "data" (the reshape
+            # must not gather the batch onto one device)
+            micro = jax.lax.with_sharding_constraint(
+                micro, jax.tree.map(
+                    lambda x: NamedSharding(
+                        mesh, P(None, "data", *([None] * (x.ndim - 2)))),
+                    micro))
+
+        def body(carry, mb):
+            stats_c, acc = carry
+            grads, new_stats, metrics = _grads_one(params, stats_c, mb)
+            return (new_stats,
+                    jax.tree.map(jnp.add, acc, (grads, metrics))), None
+
+        # first microbatch seeds the accumulator (no zeros_like pass)
+        first = jax.tree.map(lambda x: x[0], micro)
+        grads0, stats1, metrics0 = _grads_one(params, stats, first)
+        rest = jax.tree.map(lambda x: x[1:], micro)
+        (new_stats, (gsum, msum)), _ = jax.lax.scan(
+            body, (stats1, (grads0, metrics0)), rest)
+        inv = 1.0 / accum
+        return (jax.tree.map(lambda g: g * inv, gsum), new_stats,
+                jax.tree.map(lambda m: m * inv, msum))
 
     def step_fn(state: TrainState, batch):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch, True)
+        grads, new_stats, metrics = (
+            _grads_one(state.params, state.batch_stats, batch)
+            if accum == 1
+            else _grads_accum(state.params, state.batch_stats, batch))
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -195,3 +195,92 @@ def test_freeze_bn_keeps_stats():
     after = new_state.batch_stats
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np_.testing.assert_array_equal(np_.asarray(a), np_.asarray(b))
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum_steps=2 with freeze_bn must produce the SAME update as
+    the full-batch step (mean of equal-sized microbatch grads == the
+    full-batch grad), and metrics average to the full-batch values.
+    Divisibility errors are loud."""
+    import jax
+
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+    def mk(accum):
+        return config_lib.TrainConfig(
+            dataset="mpii", backbone="resnet_v1_50", pooling="attention",
+            image_size=64, batch_size=4, bf16_backbone=False,
+            learning_rate=1e-2, lr_schedule="constant", freeze_bn=True,
+            grad_clip_norm=None, grad_accum_steps=accum)
+
+    spec = get_dataset("mpii")
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32),
+        "label": jnp.asarray([1, 2, 3, 4], jnp.int32),
+        "transform": jnp.tile(jnp.asarray([1, 1, 0, 0, 0], jnp.float32),
+                              (4, 1)),
+    }
+    cfg1, cfg2 = mk(1), mk(2)
+    s1, _, model, tx1 = train_lib.create_state(cfg1)
+    s2 = jax.tree.map(lambda x: jnp.array(x), s1)
+    step1 = train_lib.make_train_step(model, spec, cfg1, tx1)
+    step2 = train_lib.make_train_step(model, spec, mk(2),
+                                      train_lib.make_optimizer(cfg2))
+    n1, m1 = step1(s1, batch)
+    n2, m2 = step2(s2, batch)
+    np.testing.assert_allclose(float(m1["loss/total"]),
+                               float(m2["loss/total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
+    worst = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(n1.params), jax.tree.leaves(n2.params)))
+    assert worst < 1e-5, worst
+
+    # indivisible batch is a loud error
+    bad = {k: v[:3] for k, v in batch.items()}
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        step2(jax.tree.map(lambda x: jnp.array(x), n2), bad)
+
+
+def test_grad_accum_on_mesh():
+    """The microbatch scan composes with the mesh train step: the
+    reshaped batch keeps its microbatch dim sharded over 'data' and the
+    step matches the accum=1 mesh step under freeze_bn."""
+    import jax
+
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+    from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    def mk(accum):
+        return config_lib.TrainConfig(
+            dataset="mpii", backbone="resnet_v1_50", pooling="attention",
+            image_size=64, batch_size=16, bf16_backbone=False,
+            learning_rate=1e-2, lr_schedule="constant", freeze_bn=True,
+            grad_clip_norm=None, grad_accum_steps=accum, mesh_shape=(8,))
+
+    spec = get_dataset("mpii")
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": np.asarray(rng.normal(size=(16, 64, 64, 3)), np.float32),
+        "label": rng.integers(0, 393, 16).astype(np.int32),
+        "transform": np.tile(np.asarray([1, 1, 0, 0, 0], np.float32),
+                             (16, 1)),
+    }
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    cfg1, cfg2 = mk(1), mk(2)
+    s1, _, model, tx1 = train_lib.create_state(cfg1)
+    s2 = jax.tree.map(lambda x: jnp.array(x), s1)
+    step1 = train_lib.make_train_step(model, spec, cfg1, tx1, mesh)
+    step2 = train_lib.make_train_step(model, spec, cfg2,
+                                      train_lib.make_optimizer(cfg2), mesh)
+    n1, m1 = step1(s1, mesh_lib.shard_batch(batch, mesh))
+    n2, m2 = step2(s2, mesh_lib.shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["loss/total"]),
+                               float(m2["loss/total"]), rtol=1e-5)
+    worst = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(n1.params), jax.tree.leaves(n2.params)))
+    assert worst < 1e-4, worst
