@@ -187,6 +187,34 @@ def test_ema_checkpoint_roundtrip_and_serving(tmp_path):
         serving.load_predictor(cfg_old, buckets=(2,), use_ema=True)
 
 
+def test_eval_ema_composes_with_int8(tmp_path):
+    """eval_ema=True + eval_int8=True quantizes the EMA weights (params
+    are swapped before the int8 fold): identical to int8-evaluating a
+    state whose params ARE the ema tree, and different from int8 over
+    the raw params."""
+    import dataclasses
+
+    spec = get_dataset("mpii")
+    val_p = str(tmp_path / "val.tfrecord")
+    records.write_synthetic_dataset(val_p, spec, 8, image_size=80, seed=3)
+    cfg = tiny_cfg(eval_pattern=val_p, eval_batch_size=4, ema_decay=0.25)
+    state, _, model, tx = train_lib.create_state(cfg)
+    step_fn = train_lib.make_train_step(model, get_dataset("mpii"), cfg, tx)
+    for _ in range(3):
+        state, _ = step_fn(state, _batch(cfg))
+
+    def ev(c, s):
+        return eval_lib.evaluate(c, s, eval_iter=pipeline.make_eval_iterator(
+            val_p, spec, batch_size=4, image_size=64, resize_min=72))
+
+    cfg8 = dataclasses.replace(cfg, eval_int8=True)
+    res_both = ev(dataclasses.replace(cfg8, eval_ema=True), state)
+    res_manual = ev(cfg8, state.replace(params=state.ema_params))
+    res_raw8 = ev(cfg8, state)
+    assert res_both["mAP"] == res_manual["mAP"]
+    assert res_both["mAP"] != res_raw8["mAP"]
+
+
 def test_ema_toggle_across_resume(tmp_path):
     """ema_decay may be flipped between runs sharing a workdir; restore
     must reconcile the tree-structure mismatch instead of raising Orbax's
