@@ -314,20 +314,17 @@ def make_train_step(model, spec, cfg: config_lib.TrainConfig, tx, mesh=None):
                     micro))
 
         def body(carry, mb):
-            stats_c, acc = carry
+            stats_c, gacc = carry
             grads, new_stats, metrics = _grads_one(params, stats_c, mb)
-            return (new_stats,
-                    jax.tree.map(jnp.add, acc, (grads, metrics))), None
+            return (new_stats, jax.tree.map(jnp.add, gacc, grads)), metrics
 
-        # first microbatch seeds the accumulator (no zeros_like pass)
-        first = jax.tree.map(lambda x: x[0], micro)
-        grads0, stats1, metrics0 = _grads_one(params, stats, first)
-        rest = jax.tree.map(lambda x: x[1:], micro)
-        (new_stats, (gsum, msum)), _ = jax.lax.scan(
-            body, (stats1, (grads0, metrics0)), rest)
-        inv = 1.0 / accum
-        return (jax.tree.map(lambda g: g * inv, gsum), new_stats,
-                jax.tree.map(lambda m: m * inv, msum))
+        # zeros-seeded scan over ALL microbatches: the loss/backward body
+        # compiles ONCE (seeding from microbatch 0 would compile it a
+        # second time unrolled); per-micro metrics stack as scan outputs
+        (new_stats, gsum), mstack = jax.lax.scan(
+            body, (stats, jax.tree.map(jnp.zeros_like, params)), micro)
+        return (jax.tree.map(lambda g: g / accum, gsum), new_stats,
+                jax.tree.map(lambda m: jnp.mean(m, axis=0), mstack))
 
     def step_fn(state: TrainState, batch):
         grads, new_stats, metrics = (

@@ -97,7 +97,7 @@ def bench_int8(batch_size=256, image_size=224, steps=20, warmup=5,
 
 
 def bench_train(batch_size=128, image_size=224, steps=20, dataset="mpii",
-                freeze_bn=False):
+                freeze_bn=False, grad_accum_steps=1):
     """Full train step (fwd + bwd + clip + SGD + BN stat updates unless
     freeze_bn) — the reference's actual workload.  HBM-bandwidth-bound on
     v5e (see ARCHITECTURE.md roofline)."""
@@ -109,7 +109,8 @@ def bench_train(batch_size=128, image_size=224, steps=20, dataset="mpii",
                       pooling="attention", image_size=image_size,
                       batch_size=batch_size, learning_rate=1e-3,
                       grad_clip_norm=10.0, lr_schedule="constant",
-                      freeze_bn=freeze_bn)
+                      freeze_bn=freeze_bn,
+                      grad_accum_steps=grad_accum_steps)
     spec = get_dataset(cfg.dataset)
     state, _, model, tx = train_lib.create_state(cfg)
     step_fn = train_lib.make_train_step(model, spec, cfg, tx)
@@ -228,10 +229,14 @@ def main():
     fields["fwd448_images_per_sec_per_chip"] = _try(
         bench_forward, batch_size=96 if on_tpu else 2,
         image_size=448 if on_tpu else 64, num_classes=600, steps=10)
+    # B128 with grad_accum_steps=4 (microbatches of 32 — same activation
+    # memory as plain B32) measured FASTER than B32 in one harness run:
+    # 525 vs 496 img/s (optimizer overhead amortizes over the bigger
+    # step), so the tracked 448px train point is the accumulated recipe
     fields["train448_images_per_sec_per_chip"] = _try(
-        bench_train, batch_size=32 if on_tpu else 2,
+        bench_train, batch_size=128 if on_tpu else 4,
         image_size=448 if on_tpu else 64, dataset="hico", steps=10,
-        freeze_bn=True)
+        freeze_bn=True, grad_accum_steps=4 if on_tpu else 2)
     fields["int8_448_images_per_sec_per_chip"] = _try(
         bench_int8, batch_size=96 if on_tpu else 2,
         image_size=448 if on_tpu else 64, num_classes=600, steps=10)
