@@ -89,7 +89,15 @@ def main(argv):
         return results
 
     if not FLAGS.follow:
-        if eval_step(FLAGS.step) is None:
+        # Same race as the --follow loop: with --step unset, hosts can
+        # observe different "latest" checkpoints (filesystem propagation
+        # while training is still writing) and would silently pair
+        # mixed-step logits in the eval gather.  Agree on host 0's view
+        # before the collective restore.
+        step = FLAGS.step
+        if step is None:
+            step = multihost.broadcast_step(mgr.latest_step())
+        if step is None or eval_step(step) is None:
             raise SystemExit(
                 f"no checkpoint found under {cfg.workdir}/checkpoints")
         return

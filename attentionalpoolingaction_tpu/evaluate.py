@@ -34,12 +34,14 @@ def mesh_from_config(cfg: config_lib.TrainConfig):
 
     from attentionalpoolingaction_tpu.parallel import mesh as mesh_lib
 
-    # Eval stays HOST-LOCAL: evaluate() fetches the sharded logits to
-    # numpy, which requires every shard addressable from this process.
-    # Multi-process runs (train_cli --eval_every on multi-host) therefore
-    # build the eval mesh from local devices only — each host evaluates
-    # the (unsharded-by-process) split redundantly, as without a mesh —
-    # while train uses the global mesh.
+    # Eval's DEVICE mesh stays HOST-LOCAL: evaluate() fetches the sharded
+    # logits to numpy, which requires every shard addressable from this
+    # process, so multi-process runs build the eval mesh from local
+    # devices only while train uses the global mesh.  The SPLIT is still
+    # sharded by process (shard_by_process in the pipelines): each host
+    # evaluates its 1/process_count of the examples on its local mesh and
+    # the per-host results are gathered in evaluate() — eval costs 1/N
+    # wall time, not redundant full passes.
     local = jax.local_devices()
     n = math.prod(cfg.mesh_shape)
     if jax.process_count() > 1:

@@ -53,6 +53,32 @@ WEIGHTS = "weights.npz"
 FORMAT_VERSION = 1
 
 
+def reject_checkpoint_flags(FLAGS, names: Sequence[str]) -> None:
+    """Usage-error if any checkpoint-only flag was passed with
+    --exported_dir.
+
+    The artifact fixed weights, precision, buckets AND config at export
+    time, so these flags have no effect; silently dropping e.g. --ema
+    would serve the wrong weights.  Checks whether the flag was *set*
+    (absl's ``using_default_value`` goes false on both command-line
+    parse and programmatic assignment), not value-vs-default — so an
+    explicit ``--config mpii_rank1_224`` is rejected too, even though it
+    equals the default: the manifest's config wins and accepting the
+    flag would mask a model-selection misconfiguration.  Shared by
+    serve_cli and predict_cli so their rejection lists cannot drift.
+    """
+    present = [f"--{n}" for n in names
+               if n in FLAGS and not FLAGS[n].using_default_value]
+    if present:
+        from absl import app
+
+        raise app.UsageError(
+            f"{', '.join(present)} have no effect with --exported_dir "
+            "(the artifact fixes weights, precision, buckets and config "
+            "at export time — re-run export_cli with these flags "
+            "instead)")
+
+
 def _leaf_key(i: int) -> str:
     return f"leaf_{i:05d}"
 

@@ -52,16 +52,8 @@ def main(argv):
     if FLAGS.exported_dir:
         from attentionalpoolingaction_tpu import export as export_lib
 
-        ignored = [f"--{name}" for name, dflt in (
-            ("int8", False), ("ema", False), ("step", None),
-            ("set", []))
-            if getattr(FLAGS, name) != dflt]
-        if FLAGS.workdir:
-            ignored.append("--workdir")
-        if ignored:
-            raise app.UsageError(
-                f"{', '.join(ignored)} have no effect with "
-                "--exported_dir (re-run export_cli with them instead)")
+        export_lib.reject_checkpoint_flags(
+            FLAGS, ("config", "workdir", "int8", "ema", "step", "set"))
         predictor = export_lib.load_exported(FLAGS.exported_dir)
     elif FLAGS.workdir:
         overrides = config_lib.parse_overrides(FLAGS.set)

@@ -105,12 +105,23 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
         def do_POST(self):
             import time
             t_start = time.monotonic()
+            observed = False
+
+            def observe_once():
+                # a request enters the histogram exactly once, even when a
+                # response-write failure lands us in an except block after
+                # the success path already recorded it
+                nonlocal observed
+                if not observed:
+                    observed = True
+                    stats.observe_latency(time.monotonic() - t_start)
+
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 if self.path == "/predict":
                     res = batcher.submit(body).result(timeout=60)
-                    stats.observe_latency(time.monotonic() - t_start)
+                    observe_once()
                     # per-item decode failures come back as {"error": ...}
                     # (Predictor.predict_bytes) -> client error for THIS
                     # request only; concurrent batch-mates are unaffected
@@ -128,7 +139,7 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                         return
                     futs = [batcher.submit(b) for b in blobs]
                     results = [f.result(timeout=60) for f in futs]
-                    stats.observe_latency(time.monotonic() - t_start)
+                    observe_once()
                     for r in results:
                         stats.inc("serving_requests_total"
                                   if "error" not in r
@@ -136,6 +147,13 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     self._json(200, {"results": results})
                 else:
                     self._json(404, {"error": "unknown path"})
+            except (BrokenPipeError, ConnectionResetError):
+                # the client hung up while we wrote the response (e.g. its
+                # timeout < our dispatch time): the prediction itself
+                # succeeded, so this is not an internal error — and the
+                # socket is dead, so no 500 can be written to it
+                observe_once()
+                stats.inc("serving_client_disconnects_total")
             except Exception as exc:  # internal failure (device stall,
                 # future timeout, ...) — 500 so LBs retry/mark unhealthy
                 # rather than blaming the request; counted so alerts on
@@ -143,9 +161,12 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 # Failed/timed-out requests enter the latency histogram
                 # too — p99 must degrade exactly when the server is
                 # unhealthy, not keep reporting the pre-incident value
-                stats.observe_latency(time.monotonic() - t_start)
+                observe_once()
                 stats.inc("serving_internal_errors_total")
-                self._json(500, {"error": str(exc)})
+                try:
+                    self._json(500, {"error": str(exc)})
+                except OSError:
+                    pass  # socket already gone
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # for clean shutdown
@@ -157,22 +178,9 @@ def main(argv):
     if FLAGS.exported_dir:
         from attentionalpoolingaction_tpu import export as export_lib
 
-        # checkpoint-only flags have NO effect on an AOT artifact (its
-        # weights/precision/buckets were fixed at export): silently
-        # dropping e.g. --ema would serve the wrong weights, so refuse
-        ignored = [f"--{name}" for name, dflt in (
-            ("int8", False), ("ema", False), ("step", None),
-            ("calibration_images", []), ("set", []),
-            ("buckets", ["1", "8", "32"]))
-            if getattr(FLAGS, name) != dflt]
-        if FLAGS.workdir:
-            ignored.append("--workdir")
-        if ignored:
-            raise app.UsageError(
-                f"{', '.join(ignored)} have no effect with "
-                "--exported_dir (the artifact fixes weights, precision "
-                "and buckets at export time — re-run export_cli with "
-                "these flags instead)")
+        export_lib.reject_checkpoint_flags(
+            FLAGS, ("config", "workdir", "int8", "ema", "step",
+                    "calibration_images", "set", "buckets"))
         predictor = export_lib.load_exported(
             FLAGS.exported_dir, data_parallel=FLAGS.data_parallel)
         served = FLAGS.exported_dir

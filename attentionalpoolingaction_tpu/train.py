@@ -434,8 +434,13 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
         state = ckpt.restore(checkpoint_manager, abstract)
         if seed_ema_from_params:
-            state = state.replace(ema_params=jax.tree.map(
-                lambda x: jnp.array(x, copy=True), state.params))
+            # jitted copy, not eager jnp.array: restored params are global
+            # jax.Arrays that on multi-host meshes are not fully
+            # addressable — an eager copy would raise; under jit the copy
+            # is a compiled program whose outputs inherit each leaf's
+            # sharding.
+            state = state.replace(ema_params=jax.jit(
+                lambda p: jax.tree.map(jnp.copy, p))(state.params))
         elif ckpt_has_ema and not cfg.ema_decay:
             state = state.replace(ema_params=None)
         log.info("resumed from checkpoint at step %d", int(state.step))

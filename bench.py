@@ -148,9 +148,9 @@ def _try(fn, **kw):
         return None
 
 
-def _last_round_value(metric: str):
-    """Newest driver-written BENCH_r*.json's 224px forward value — only if
-    it was measured under the SAME metric name (platform and batch are
+def _last_round_parsed(metric: str):
+    """Newest driver-written BENCH_r*.json's parsed fields — only if it
+    was measured under the SAME metric name (platform and batch are
     embedded in it): a CPU dev run after a TPU round must not emit a
     spurious ~0.05x REGRESSION note, nor a TPU run after a CPU round mask
     a real one."""
@@ -169,7 +169,7 @@ def _last_round_value(metric: str):
         parsed = json.load(open(best[0])).get("parsed") or {}
         if parsed.get("metric") != metric:
             return None
-        return float(parsed.get("value"))
+        return parsed
     except (ValueError, TypeError, OSError):
         return None
 
@@ -186,12 +186,26 @@ def main():
 
     def emit():
         fwd = fields.get("value")
-        last = _last_round_value(metric)
-        vs_last = round(fwd / last, 3) if (fwd and last) else None
-        note = None
-        if vs_last is not None and vs_last < 0.95:
-            note = (f"REGRESSION: 224px fwd {fwd} is {vs_last}x last "
-                    f"round's {last}")
+        last = _last_round_parsed(metric) or {}
+        last_fwd = last.get("value")
+        vs_last = (round(fwd / last_fwd, 3) if (fwd and last_fwd)
+                   else None)
+        # every numeric field is regression-checked against the previous
+        # round, not just the 224px forward — a train/int8/448px drop
+        # must be as loud as a forward drop
+        regressed = []
+        for k, cur in fields.items():
+            prev = last.get(k)
+            if (isinstance(cur, (int, float)) and
+                    not isinstance(cur, bool) and
+                    isinstance(prev, (int, float)) and
+                    not isinstance(prev, bool) and prev and
+                    cur / prev < 0.95):
+                regressed.append(
+                    f"{'224px fwd' if k == 'value' else k} "
+                    f"{cur} is {round(cur / prev, 3)}x last round's "
+                    f"{prev}")
+        note = f"REGRESSION: {'; '.join(regressed)}" if regressed else None
         print(json.dumps({
             "metric": metric,
             "unit": "images/sec/chip",

@@ -84,16 +84,20 @@ def test_bench_vs_last_round_gated_on_metric_name(tmp_path, monkeypatch):
                   "_224px_bf16_b512_tpu")
     (tmp_path / "BENCH_r07.json").write_text(json.dumps(
         {"parsed": {"metric": tpu_metric, "value": 9000.0}}))
-    assert bench._last_round_value(tpu_metric) == 9000.0
+    assert bench._last_round_parsed(tpu_metric)["value"] == 9000.0
     cpu_metric = tpu_metric.replace("b512_tpu", "b8_cpu")
-    assert bench._last_round_value(cpu_metric) is None
-    # newest round wins even with a lower number
+    assert bench._last_round_parsed(cpu_metric) is None
+    # newest round wins even with a lower number; every parsed field
+    # comes back (train/int8/448px points are regression-checked too)
     (tmp_path / "BENCH_r08.json").write_text(json.dumps(
-        {"parsed": {"metric": tpu_metric, "value": 8000.0}}))
-    assert bench._last_round_value(tpu_metric) == 8000.0
+        {"parsed": {"metric": tpu_metric, "value": 8000.0,
+                    "train_images_per_sec_per_chip": 2000.0}}))
+    parsed = bench._last_round_parsed(tpu_metric)
+    assert parsed["value"] == 8000.0
+    assert parsed["train_images_per_sec_per_chip"] == 2000.0
     # malformed newest file -> no comparison, no crash
     (tmp_path / "BENCH_r09.json").write_text("not json")
-    assert bench._last_round_value(tpu_metric) is None
+    assert bench._last_round_parsed(tpu_metric) is None
 
 
 def test_lr_schedules():

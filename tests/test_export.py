@@ -129,7 +129,11 @@ def test_serve_cli_rejects_checkpoint_flags_with_exported_dir():
                     (dict(step=7), "--step"),
                     (dict(set=["ema_decay=0.9"]), "--set"),
                     (dict(int8=True), "--int8"),
-                    (dict(workdir="/tmp/x"), "--workdir")):
+                    (dict(workdir="/tmp/x"), "--workdir"),
+                    # even at the default value: the manifest's config
+                    # wins, so an explicit --config is a loud error, not
+                    # a silently-ignored model selection
+                    (dict(config="mpii_rank1_224"), "--config")):
         with flagsaver.flagsaver(exported_dir="/nonexistent", **kw):
             with pytest.raises(absl_app.UsageError, match=pat):
                 serve_cli.main([])
