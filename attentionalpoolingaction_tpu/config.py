@@ -85,6 +85,16 @@ class TrainConfig:
     # span (an oversized window would buffer every video until epoch
     # end — the whole split's JPEGs resident at once)
     frames_per_video: int = 25
+    # clip-level spatiotemporal pooling (video datasets, beyond the
+    # reference's per-frame protocol): each example is a temporally
+    # ordered clip of this many frames (TSN-style one-frame-per-segment
+    # sampling, one shared geometric augmentation) and the attentional
+    # pooling head attends over all T*h*w spatiotemporal positions in one
+    # second-order form — per-video logits directly, no post-hoc frame
+    # averaging.  1 = the reference per-frame protocol.  Grain-only
+    # (needs the random-access video index); requires
+    # video_frame_sampling and pooling in ("attention", "avg")
+    clip_frames: int = 1
     # persistent XLA compilation cache (jax_compilation_cache_dir): a
     # preemption restart re-jits the train step from the on-disk cache in
     # seconds instead of recompiling (~30-40s per program on TPU) — set
@@ -150,6 +160,14 @@ PRESETS: dict[str, TrainConfig] = {
         dataset="hmdb51", pooling="attention", rank=1, image_size=224,
         batch_size=64, learning_rate=0.01, input_pipeline="grain",
         freeze_bn=True),
+    # 4b: clip-level spatiotemporal pooling (TPU-native extension, not a
+    # reference config): 8-frame TSN-sampled clips, attention over all
+    # T*h*w positions, per-video logits directly.  Effective backbone
+    # batch is batch_size * clip_frames = 64 frames/step.
+    "hmdb51_clip8": TrainConfig(
+        dataset="hmdb51", pooling="attention", rank=1, image_size=224,
+        batch_size=8, clip_frames=8, learning_rate=0.01,
+        input_pipeline="grain", freeze_bn=True),
     # 5: "High-res multi-rank: rank-k bilinear pooling at 450px, multi-crop
     #     eval on TPU mesh"
     # (use_pallas left off: the einsum head measured faster — see

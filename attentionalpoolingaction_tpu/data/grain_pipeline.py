@@ -156,20 +156,61 @@ def build_video_index(src, spec: DatasetSpec) -> dict[int, list[int]]:
     return by_vid
 
 
+def _segment_picks(n: int, clip_frames: int, rng=None) -> list[int]:
+    """TSN-style temporal sampling: split ``n`` frames into ``clip_frames``
+    equal segments and pick one frame per segment — a random one with an
+    ``rng`` (training), the segment center without (eval).  Videos shorter
+    than ``clip_frames`` repeat frames (linspace over segments), keeping
+    the clip shape static for XLA."""
+    bounds = np.linspace(0, n, clip_frames + 1)
+    picks = []
+    for i in range(clip_frames):
+        lo, hi = int(bounds[i]), max(int(bounds[i + 1]), int(bounds[i]) + 1)
+        hi = min(hi, n)
+        if hi <= lo:
+            lo = hi - 1
+        picks.append(int(rng.integers(lo, hi)) if rng is not None
+                     else (lo + hi - 1) // 2)
+    return picks
+
+
+def _clip_features(raws, rng, spec: DatasetSpec, *, image_size,
+                   is_training, resize_min, resize_max,
+                   transfer_uint8=False):
+    """Parse ``clip_frames`` raw records of ONE video into a stacked
+    (T, H, W, 3) clip with a single shared geometric transform; label and
+    video_id come from the first frame (identical across a video)."""
+    parsed = [parse_example(r, spec) for r in raws]
+    clip, transform = ppnp.preprocess_clip_np(
+        [p["image_bytes"] for p in parsed], out_size=image_size,
+        is_training=is_training, resize_min=resize_min,
+        resize_max=resize_max, rng=rng, keep_uint8=transfer_uint8)
+    first = parsed[0]
+    return {"image": clip, "transform": transform,
+            "label": first["label"], "video_id": first["video_id"],
+            "frame": np.asarray([p["frame"] for p in parsed], np.int32)}
+
+
 def make_video_train_dataset(pattern, spec: DatasetSpec, *,
                              batch_size: int, image_size: int,
                              resize_min: int | None = None,
                              resize_max: int | None = None, seed: int = 0,
                              shard_index: int = 0, shard_count: int = 1,
-                             transfer_uint8: bool = False):
+                             transfer_uint8: bool = False,
+                             clip_frames: int = 1):
     """Video-level train dataset with per-epoch temporal frame sampling.
 
     The Grain index is the set of VIDEOS (not frames): each epoch visits
-    every video once in a fresh shuffle and draws ONE random frame from
-    its stored frames — so frame selection varies across epochs (the
-    reference-era HMDB training protocol), unlike iterating pre-extracted
-    frames directly.  Eval keeps deterministic uniform sampling
-    (convert_hmdb.sample_frame_indices) and per-video logit averaging."""
+    every video once in a fresh shuffle and draws frames from its stored
+    records — so frame selection varies across epochs (the reference-era
+    HMDB training protocol), unlike iterating pre-extracted frames
+    directly.  ``clip_frames == 1`` (the reference protocol) yields one
+    random frame per video; ``clip_frames > 1`` yields a temporally
+    ordered (T, H, W, 3) clip — one random frame from each of T equal
+    segments (TSN-style), all frames sharing one geometric augmentation —
+    for the clip-level spatiotemporal pooling mode (ActionModel accepts
+    the 5-D batch directly).  Eval keeps deterministic sampling
+    (convert_hmdb.sample_frame_indices / segment centers)."""
     import grain
 
     resize_min = resize_min or image_size
@@ -184,6 +225,13 @@ def make_video_train_dataset(pattern, spec: DatasetSpec, *,
     ds = ds.shuffle().repeat()
 
     def sample(frame_idxs, rng):
+        if clip_frames > 1:
+            picks = _segment_picks(len(frame_idxs), clip_frames, rng)
+            return _clip_features(
+                [src[frame_idxs[p]] for p in picks], rng, spec,
+                image_size=image_size, is_training=True,
+                resize_min=resize_min, resize_max=resize_max,
+                transfer_uint8=transfer_uint8)
         raw = src[frame_idxs[rng.integers(len(frame_idxs))]]
         return _to_features(
             parse_example(raw, spec), rng, spec, image_size=image_size,
@@ -193,6 +241,44 @@ def make_video_train_dataset(pattern, spec: DatasetSpec, *,
     ds = ds.random_map(sample)
     ds = ds.batch(batch_size, drop_remainder=True,
                   batch_fn=_stack_features)
+    return ds
+
+
+def make_video_clip_eval_dataset(pattern, spec: DatasetSpec, *,
+                                 batch_size: int, image_size: int,
+                                 resize_min: int | None = None,
+                                 clip_frames: int = 8,
+                                 pad_to_batch: bool = True,
+                                 shard_index: int = 0,
+                                 shard_count: int = 1):
+    """One example per VIDEO: a deterministic (clip_frames, H, W, 3) clip
+    (segment-center frames, central crop).  Each row's logits are already
+    video-level, so the standard eval flow needs no per-frame averaging;
+    sharding slices the VIDEO list per process (multi-host eval)."""
+    import grain
+
+    resize_min = resize_min or image_size
+    src = make_source(pattern)
+    by_vid = build_video_index(src, spec)
+    frame_lists = [by_vid[v] for v in sorted(by_vid)]
+
+    ds = grain.MapDataset.source(frame_lists).seed(0)
+    if shard_count > 1:
+        ds = ds.slice(slice(shard_index, None, shard_count))
+
+    def to_features(frame_idxs):
+        picks = _segment_picks(len(frame_idxs), clip_frames)
+        feats = _clip_features(
+            [src[frame_idxs[p]] for p in picks], None, spec,
+            image_size=image_size, is_training=False,
+            resize_min=resize_min, resize_max=None)
+        return {**feats, "mask": np.float32(1.0)}
+
+    ds = ds.map(to_features)
+    ds = ds.batch(batch_size, drop_remainder=False,
+                  batch_fn=_stack_features)
+    if pad_to_batch:
+        ds = ds.map(lambda b: _pad_batch(b, batch_size))
     return ds
 
 

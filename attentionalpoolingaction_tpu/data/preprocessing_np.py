@@ -69,6 +69,63 @@ def preprocess_image_np(image_bytes: bytes, *, out_size: int,
     return np.ascontiguousarray(img), transform
 
 
+def preprocess_clip_np(frames: list, *, out_size: int,
+                       is_training: bool, resize_min: int,
+                       resize_max: int | None = None,
+                       rng: np.random.Generator | None = None,
+                       keep_uint8: bool = False):
+    """Preprocess a temporal clip of encoded frames with ONE shared
+    geometric transform — the resize side, crop offset and flip are
+    sampled once (from the first frame's dimensions) and applied to every
+    frame.  Per-frame augmentation would decorrelate the clip and turn
+    temporal attention into noise; sharing the geometry is the standard
+    video-training protocol.  Returns (clip (T, out, out, 3), transform)
+    with the same transform layout as preprocess_image_np."""
+    import cv2
+
+    imgs = [decode_jpeg(b).astype(np.float32) for b in frames]
+    h, w = imgs[0].shape[:2]
+
+    if is_training and resize_max is not None and resize_max > resize_min:
+        assert rng is not None, "training preprocessing needs an rng"
+        side = int(rng.integers(resize_min, resize_max + 1))
+    else:
+        side = resize_min
+    scale = side / min(h, w)
+    new_h = int(round(h * scale))
+    new_w = int(round(w * scale))
+    if is_training:
+        oy = int(rng.integers(0, max(new_h - out_size, 0) + 1))
+        ox = int(rng.integers(0, max(new_w - out_size, 0) + 1))
+        flip = bool(rng.integers(0, 2))
+    else:
+        oy = max(new_h - out_size, 0) // 2
+        ox = max(new_w - out_size, 0) // 2
+        flip = False
+
+    out = []
+    for img in imgs:
+        if img.shape[:2] != (h, w):
+            # ragged frame (shouldn't happen within one video; conform so
+            # the shared crop stays valid rather than crashing mid-epoch)
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        img = cv2.resize(img, (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+        img = img[oy:oy + out_size, ox:ox + out_size]
+        if flip:
+            img = img[:, ::-1]
+        if keep_uint8:
+            img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        else:
+            img = img - np.array([R_MEAN, G_MEAN, B_MEAN], np.float32)
+        out.append(np.ascontiguousarray(img))
+
+    transform = np.array(
+        [new_h / h, new_w / w, float(oy), float(ox), float(flip)],
+        np.float32)
+    return np.stack(out), transform
+
+
 def eval_multicrop_np(image_bytes: bytes, *, out_size: int,
                       resize_min: int, num_crops: int = 3) -> np.ndarray:
     """NumPy mirror of preprocessing.eval_multicrop_tf (identical

@@ -154,6 +154,26 @@ def make_eval_input(cfg: config_lib.TrainConfig, spec,
     from attentionalpoolingaction_tpu.data import pipeline
 
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    if cfg.clip_frames > 1:
+        # clip-level eval: one deterministic (T, H, W, 3) clip per VIDEO
+        # (segment centers) — each row's logits are already video-level,
+        # so the standard flow's per-video grouping reduces to identity
+        from attentionalpoolingaction_tpu.data import grain_pipeline
+        if cfg.input_pipeline != "grain":
+            raise ValueError(
+                "clip_frames > 1 eval requires input_pipeline='grain' "
+                "(the clip sampler runs on the random-access video index)")
+        if multicrop or cfg.eval_int8:
+            raise ValueError(
+                "clip_frames > 1 composes with neither eval_multicrop "
+                "nor eval_int8 (single-crop bf16/f32 clip eval only)")
+        return iter(grain_pipeline.make_video_clip_eval_dataset(
+            cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
+            image_size=cfg.image_size,
+            resize_min=cfg.resize_min_resolved,
+            clip_frames=cfg.clip_frames,
+            shard_index=jax.process_index() if shard_by_process else 0,
+            shard_count=jax.process_count() if shard_by_process else 1))
     if cfg.input_pipeline == "grain":
         from attentionalpoolingaction_tpu.data import grain_pipeline
         shard_kw = dict(

@@ -38,11 +38,31 @@ class ActionModel(nn.Module):
                  return_maps: bool = False):
         if self.pooling not in POOLING_TYPES:
             raise ValueError(f"unknown pooling {self.pooling!r}")
+        # Video clips: a 5-D (B, T, H, W, C) batch runs the backbone
+        # per-frame (frames fold into the batch dim — one big MXU-friendly
+        # conv batch) and the POOLING spans all T*h*w spatiotemporal
+        # positions: the head's second-order attention then attends over
+        # space AND time in one softmax-free bilinear form, instead of the
+        # reference protocol's per-frame logits averaged post-hoc.  The
+        # heads are position-count-agnostic, so folding T into the
+        # feature-map height needs no head changes.
+        clip_t = None
+        if images.ndim == 5:
+            if self.pooling == "pose_attention":
+                raise ValueError(
+                    "pose_attention pooling is per-image (pose targets "
+                    "have no temporal dim) — use pooling='attention' or "
+                    "'avg' for video clips")
+            b, clip_t = images.shape[:2]
+            images = images.reshape((b * clip_t,) + images.shape[2:])
         feats = BACKBONES[self.backbone](
             dtype=self.dtype, bn_momentum=self.bn_momentum,
             remat_units=self.remat_units, name="resnet")(
             images, train=train, global_pool=False)
         feats = feats.astype(jnp.float32)
+        if clip_t is not None:
+            bt, fh, fw, ff = feats.shape
+            feats = feats.reshape(bt // clip_t, clip_t * fh, fw, ff)
 
         out = {}
         if self.pooling == "avg":
@@ -53,8 +73,15 @@ class ActionModel(nn.Module):
                 self.num_classes, rank=self.rank, use_pallas=self.use_pallas,
                 name="head")
             if return_maps:
-                out["logits"], (out["attn_maps"], out["saliency"]) = head(
-                    feats, return_maps=True)
+                out["logits"], (top, bot) = head(feats, return_maps=True)
+                if clip_t is not None:
+                    # expose per-frame maps: (B, T, h, w, ...) — the
+                    # temporal attention distribution is a byproduct
+                    top = top.reshape((top.shape[0], clip_t, -1) +
+                                      top.shape[2:])
+                    bot = bot.reshape(bot.shape[0], clip_t, -1,
+                                      bot.shape[2])
+                out["attn_maps"], out["saliency"] = top, bot
             else:
                 out["logits"] = head(feats)
 

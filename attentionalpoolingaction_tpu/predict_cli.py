@@ -39,6 +39,9 @@ flags.DEFINE_bool("int8", False,
                   "(models/inference.py)")
 flags.DEFINE_bool("ema", False,
                   "use the EMA weights (requires ema_decay training)")
+flags.DEFINE_bool("data_parallel", False,
+                  "shard each batch across all local devices "
+                  "(multi-chip hosts; batch rounds up to chip multiples)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None, "force a JAX backend")
 
@@ -54,14 +57,16 @@ def main(argv):
 
         export_lib.reject_checkpoint_flags(
             FLAGS, ("config", "workdir", "int8", "ema", "step", "set"))
-        predictor = export_lib.load_exported(FLAGS.exported_dir)
+        predictor = export_lib.load_exported(
+            FLAGS.exported_dir, data_parallel=FLAGS.data_parallel)
     elif FLAGS.workdir:
         overrides = config_lib.parse_overrides(FLAGS.set)
         overrides["workdir"] = FLAGS.workdir
         cfg = config_lib.get_config(FLAGS.config, **overrides)
         predictor = serving.load_predictor(
             cfg, step=FLAGS.step, int8=FLAGS.int8,
-            buckets=(FLAGS.batch_size,), use_ema=FLAGS.ema)
+            buckets=(FLAGS.batch_size,), use_ema=FLAGS.ema,
+            data_parallel=FLAGS.data_parallel)
     else:
         raise app.UsageError("one of --workdir / --exported_dir required")
     paths = list(FLAGS.images)

@@ -456,9 +456,27 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     host_batch = cfg.batch_size // jax.process_count()
 
     stateful_iter = None  # a Grain iterator whose state we checkpoint
+    if cfg.clip_frames > 1:
+        # clip-level spatiotemporal pooling: video datasets only, Grain
+        # only (needs the random-access video index), and the pose head
+        # has no temporal dim — loud config errors, not silent drift
+        if not spec.is_video:
+            raise ValueError(
+                f"clip_frames={cfg.clip_frames} requires a video dataset "
+                f"(per-frame records with video ids); {cfg.dataset} is "
+                "not one")
+        if cfg.input_pipeline != "grain" or not cfg.video_frame_sampling:
+            raise ValueError(
+                f"clip_frames={cfg.clip_frames} requires "
+                "input_pipeline='grain' with video_frame_sampling=True "
+                "(TSN segment sampling runs on the random-access video "
+                "index)")
     if train_iter is None:
         if cfg.input_pipeline == "grain":
             from attentionalpoolingaction_tpu.data import grain_pipeline
+            video_sampling = spec.is_video and cfg.video_frame_sampling
+            video_kw = ({"clip_frames": cfg.clip_frames}
+                        if video_sampling and cfg.clip_frames > 1 else {})
             train_iter = grain_pipeline.make_train_iterator(
                 cfg.train_pattern, spec, batch_size=host_batch,
                 image_size=cfg.image_size,
@@ -468,7 +486,7 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
                 shard_count=jax.process_count(),
                 num_workers=cfg.grain_workers,
                 transfer_uint8=cfg.transfer_uint8,
-                video_sampling=spec.is_video and cfg.video_frame_sampling)
+                video_sampling=video_sampling, **video_kw)
             stateful_iter = train_iter
         else:
             if spec.is_video and cfg.video_frame_sampling:
