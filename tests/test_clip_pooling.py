@@ -256,6 +256,42 @@ def test_clip_train_on_mesh(hmdb_records, tmp_path):
     assert np.isfinite(float(hist[-1]["loss/total"]))
 
 
+def test_clip_learning_gate(tmp_path):
+    """Clip-mode loss-goes-down: overfit a class-signal synthetic video
+    set (the CPU mirror of scripts/tpu_e2e_train.py's learning gate) —
+    a wiring bug anywhere in clip sampling -> 5-D batch -> spatiotemporal
+    pooling -> softmax CE would stall the loss at ~log(num_classes)."""
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+
+    spec = get_dataset("hmdb51")
+    path = str(tmp_path / "sig.tfrecord")
+    # 6 videos x 4 frames, labels drawn from 4 separable classes
+    rec.write_synthetic_dataset(path, spec, 24, image_size=72, seed=0,
+                                frames_per_video=4, class_signal=0.9,
+                                num_distinct_classes=4)
+    cfg = config_lib.get_config(
+        "hmdb51_clip8", backbone="resnet_v1_50", clip_frames=2,
+        image_size=64, batch_size=6, eval_batch_size=3,
+        resize_min=68, resize_max=72, bf16_backbone=False,
+        # freeze_bn (the preset default): 25 steps barely move the
+        # 0.997-momentum running stats, so BN-training mode would overfit
+        # in train mode yet eval through near-init running stats —
+        # frozen BN keeps train and eval normalization identical
+        learning_rate=5e-3, freeze_bn=True, lr_schedule="constant",
+        train_pattern=path, eval_pattern=path,
+        workdir=str(tmp_path / "run"))
+    state, hist = train_lib.train(cfg, num_steps=25)
+    last = float(hist[-1]["loss/total"])
+    assert np.isfinite(last)
+    # random-init 51-way CE is ~log(51)=3.93; an overfit run lands well
+    # under log(4)=1.39 (hist holds log_every-spaced entries, so assert
+    # the absolute level rather than a first-vs-last ratio)
+    assert last < 1.5, last
+    res = eval_lib.evaluate(cfg, state)
+    assert res["accuracy"] >= 0.5, res    # chance on 4 classes = 0.25
+
+
 def test_clip_config_guards(hmdb_records, tmp_path):
     from attentionalpoolingaction_tpu import evaluate as eval_lib
     from attentionalpoolingaction_tpu import train as train_lib
