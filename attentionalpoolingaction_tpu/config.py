@@ -95,6 +95,11 @@ class TrainConfig:
     # (needs the random-access video index); requires
     # video_frame_sampling and pooling in ("attention", "avg")
     clip_frames: int = 1
+    # clip eval only: number of deterministic temporal clips per video
+    # (clip k samples each segment at fraction (k+0.5)/eval_clips); their
+    # logits combine through the standard per-video averaging — the
+    # classic multi-clip video protocol, temporal analog of multicrop
+    eval_clips: int = 1
     # persistent XLA compilation cache (jax_compilation_cache_dir): a
     # preemption restart re-jits the train step from the on-disk cache in
     # seconds instead of recompiling (~30-40s per program on TPU) — set

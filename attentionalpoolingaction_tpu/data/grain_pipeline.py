@@ -156,10 +156,13 @@ def build_video_index(src, spec: DatasetSpec) -> dict[int, list[int]]:
     return by_vid
 
 
-def _segment_picks(n: int, clip_frames: int, rng=None) -> list[int]:
+def _segment_picks(n: int, clip_frames: int, rng=None,
+                   frac: float = 0.5) -> list[int]:
     """TSN-style temporal sampling: split ``n`` frames into ``clip_frames``
     equal segments and pick one frame per segment — a random one with an
-    ``rng`` (training), the segment center without (eval).  Videos shorter
+    ``rng`` (training), the frame at fraction ``frac`` of the segment
+    without one (eval; 0.5 = segment center, other fractions give the
+    deterministic jittered clips of multi-clip eval).  Videos shorter
     than ``clip_frames`` repeat frames (linspace over segments), keeping
     the clip shape static for XLA."""
     bounds = np.linspace(0, n, clip_frames + 1)
@@ -170,7 +173,7 @@ def _segment_picks(n: int, clip_frames: int, rng=None) -> list[int]:
         if hi <= lo:
             lo = hi - 1
         picks.append(int(rng.integers(lo, hi)) if rng is not None
-                     else (lo + hi - 1) // 2)
+                     else min(lo + int(frac * (hi - lo)), hi - 1))
     return picks
 
 
@@ -248,26 +251,34 @@ def make_video_clip_eval_dataset(pattern, spec: DatasetSpec, *,
                                  batch_size: int, image_size: int,
                                  resize_min: int | None = None,
                                  clip_frames: int = 8,
+                                 num_clips: int = 1,
                                  pad_to_batch: bool = True,
                                  shard_index: int = 0,
                                  shard_count: int = 1):
-    """One example per VIDEO: a deterministic (clip_frames, H, W, 3) clip
-    (segment-center frames, central crop).  Each row's logits are already
-    video-level, so the standard eval flow needs no per-frame averaging;
-    sharding slices the VIDEO list per process (multi-host eval)."""
+    """``num_clips`` deterministic (clip_frames, H, W, 3) clips per VIDEO
+    (clip k picks the frame at fraction (k+0.5)/num_clips of each
+    temporal segment; central crop).  With one clip each row's logits are
+    already video-level; with several, the rows share the video_id and
+    the standard eval flow's per-video averaging combines them (the
+    classic multi-clip video protocol — the temporal analog of multicrop,
+    and it shards the same way: clips of one video may land on different
+    processes, averaging happens after the gather)."""
     import grain
 
     resize_min = resize_min or image_size
     src = make_source(pattern)
     by_vid = build_video_index(src, spec)
-    frame_lists = [by_vid[v] for v in sorted(by_vid)]
+    rows = [(by_vid[v], k) for v in sorted(by_vid)
+            for k in range(num_clips)]
 
-    ds = grain.MapDataset.source(frame_lists).seed(0)
+    ds = grain.MapDataset.source(rows).seed(0)
     if shard_count > 1:
         ds = ds.slice(slice(shard_index, None, shard_count))
 
-    def to_features(frame_idxs):
-        picks = _segment_picks(len(frame_idxs), clip_frames)
+    def to_features(row):
+        frame_idxs, k = row
+        picks = _segment_picks(len(frame_idxs), clip_frames,
+                               frac=(k + 0.5) / num_clips)
         feats = _clip_features(
             [src[frame_idxs[p]] for p in picks], None, spec,
             image_size=image_size, is_training=False,

@@ -171,7 +171,7 @@ def make_eval_input(cfg: config_lib.TrainConfig, spec,
             cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
             image_size=cfg.image_size,
             resize_min=cfg.resize_min_resolved,
-            clip_frames=cfg.clip_frames,
+            clip_frames=cfg.clip_frames, num_clips=cfg.eval_clips,
             shard_index=jax.process_index() if shard_by_process else 0,
             shard_count=jax.process_count() if shard_by_process else 1))
     if cfg.input_pipeline == "grain":

@@ -195,6 +195,66 @@ def test_clip_eval_sharding_partitions_videos(hmdb_records):
     assert not (seen[0] & seen[1])
 
 
+def test_multiclip_eval_rows_and_averaging(hmdb_records):
+    """eval_clips=K emits K deterministic rows per video (distinct
+    temporal offsets, same video_id) and the standard per-video averaging
+    combines them into one prediction per video."""
+    from attentionalpoolingaction_tpu.data import grain_pipeline as gp
+    from attentionalpoolingaction_tpu.ops import metrics as metrics_lib
+
+    path, spec = hmdb_records
+    ds = gp.make_video_clip_eval_dataset(
+        path, spec, batch_size=4, image_size=48, resize_min=52,
+        clip_frames=2, num_clips=3)
+    vids, masks, frames = [], [], []
+    for b in ds:
+        vids.append(b["video_id"])
+        masks.append(b["mask"])
+        frames.append(b["frame"])
+    m = np.concatenate(masks).astype(bool)
+    vids = np.concatenate(vids)[m]
+    frames = np.concatenate(frames)[m]
+    assert m.sum() == 12                       # 4 videos x 3 clips
+    counts = {v: int((vids == v).sum()) for v in set(vids.tolist())}
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
+    # the K clips of one video differ temporally (4 frames, 2 segments:
+    # fractions 1/6, 3/6, 5/6 of each 2-frame segment -> not all equal)
+    per_vid = {v: {tuple(f) for f, vv in zip(frames, vids) if vv == v}
+               for v in set(vids.tolist())}
+    assert all(len(s) > 1 for s in per_vid.values())
+    # per-video averaging collapses K rows to one prediction per video
+    logits = np.asarray(
+        np.random.default_rng(0).normal(size=(12, spec.num_classes)),
+        np.float32)
+    uv, avg, _ = metrics_lib.video_average_logits(
+        vids, logits, np.zeros(12, np.int32))
+    assert len(uv) == 4 and avg.shape == (4, spec.num_classes)
+
+
+def test_multiclip_eval_e2e(hmdb_records, tmp_path):
+    """evaluate() with eval_clips: num_examples = videos*clips but
+    num_videos/accuracy stay per-video; eval_clips=1 equals the
+    single-clip result exactly (same segment centers)."""
+    import dataclasses
+
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+
+    path, _ = hmdb_records
+    cfg = config_lib.get_config(
+        "hmdb51_clip8", backbone="resnet_v1_50", clip_frames=2,
+        image_size=64, batch_size=2, eval_batch_size=2, resize_min=70,
+        bf16_backbone=False, eval_pattern=path,
+        workdir=str(tmp_path / "mc"))
+    state, _, _, _ = train_lib.create_state(cfg)
+    res1 = eval_lib.evaluate(cfg, state)
+    res3 = eval_lib.evaluate(
+        dataclasses.replace(cfg, eval_clips=3), state)
+    assert res1["num_examples"] == 4 and res3["num_examples"] == 12
+    assert res1["num_videos"] == res3["num_videos"] == 4
+    assert 0.0 <= res3["accuracy"] <= 1.0
+
+
 def test_shared_clip_geometry(hmdb_records):
     """All frames of a clip get the SAME crop/flip: preprocessing the
     same encoded frame twice inside one clip yields identical pixels."""
