@@ -15,6 +15,9 @@ Endpoints:
     POST /predict          body = raw JPEG/PNG bytes -> {"topk": [...]}
     POST /predict_batch    body = {"images": [<base64>, ...]}
                            -> {"results": [{"topk": [...]}, ...]}
+    POST /predict_video    body = {"frames": [<base64>, ...]} (ordered)
+                           -> one clip-pooled {"topk": [...]} per video
+                           (live bf16 predictor only)
 """
 
 from __future__ import annotations
@@ -125,6 +128,24 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     # per-item decode failures come back as {"error": ...}
                     # (Predictor.predict_bytes) -> client error for THIS
                     # request only; concurrent batch-mates are unaffected
+                    ok = "error" not in res
+                    stats.inc("serving_requests_total" if ok
+                              else "serving_request_errors_total")
+                    self._json(200 if ok else 400, res)
+                elif self.path == "/predict_video":
+                    # one VIDEO (ordered frames) -> one clip-pooled
+                    # prediction; dispatched directly (a video is already
+                    # a batch of frames — coalescing videos of different
+                    # lengths would recompile per padded length)
+                    try:
+                        frames = [base64.b64decode(b)
+                                  for b in json.loads(body)["frames"]]
+                    except Exception as exc:
+                        stats.inc("serving_request_errors_total")
+                        self._json(400, {"error": f"bad request: {exc}"})
+                        return
+                    res = predictor.predict_clip_bytes(frames, topk=topk)
+                    observe_once()
                     ok = "error" not in res
                     stats.inc("serving_requests_total" if ok
                               else "serving_request_errors_total")

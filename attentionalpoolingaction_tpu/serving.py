@@ -222,6 +222,47 @@ class BucketedPredictor:
             resize_min=self.cfg.resize_min_resolved, keep_uint8=True)
         return img
 
+    # set True by the live bf16 Predictor: clip pooling needs the real
+    # 5-D model forward (int8 BN-folding and AOT artifacts are per-image)
+    supports_clips = False
+
+    def predict_clip_bytes(self, frame_blobs: Sequence[bytes],
+                           topk: int = 5):
+        """One VIDEO -> one prediction via clip-level spatiotemporal
+        pooling: an ordered list of encoded frames is TSN-subsampled (or
+        frame-repeated) to the model's clip length, preprocessed with the
+        shared eval central crop, and run as a (1, T, H, W, 3) clip —
+        attention pools over all T*h*w positions (see
+        config.clip_frames / ActionModel's 5-D path).  Returns
+        {"topk": [...]} or {"error": ...}."""
+        if not self.supports_clips:
+            return {"error": "clip prediction requires a live bf16 "
+                             "predictor (int8 and AOT-exported predictors "
+                             "are per-image); serve without --int8/"
+                             "--exported_dir"}
+        if not frame_blobs:
+            return {"error": "bad video: no frames"}
+        from attentionalpoolingaction_tpu.data.grain_pipeline import (
+            _segment_picks)
+
+        t = self.cfg.clip_frames if self.cfg.clip_frames > 1 else 8
+        picks = _segment_picks(len(frame_blobs), t)
+        try:
+            frames = [self.preprocess(frame_blobs[p]) for p in picks]
+        except Exception as exc:
+            return {"error": f"bad video frame: {exc}"}
+        clip = np.stack(frames)[None]          # (1, T, H, W, 3) uint8
+        t0 = time.monotonic()
+        logits = np.asarray(self._clip_fwd(self._weights, clip),
+                            np.float32)
+        self.stats.observe_dispatch(1, 1, time.monotonic() - t0)
+        p = self._probs(logits)[0]
+        top = np.argsort(-p)[:topk]
+        return {"topk": [{"class": int(c), "prob": float(p[c])}
+                         for c in top],
+                "clip_frames": int(t),
+                "frames_received": len(frame_blobs)}
+
     def predict_bytes(self, blobs: Sequence[bytes], topk: int = 5):
         """JPEG/PNG bytes -> per-item {"topk": [...]} or {"error": ...}.
 
@@ -298,6 +339,13 @@ class Predictor(BucketedPredictor):
             def fwd(weights, images):
                 return model.apply(weights, normalize_images(images),
                                    train=False)["logits"]
+
+            # video requests (predict_clip_bytes): the same forward on a
+            # (1, T, H, W, 3) clip — its own jit so the clip shape never
+            # collides with the data-parallel image shardings (a 1-video
+            # batch can't shard over the data axis anyway)
+            self.supports_clips = True
+            self._clip_fwd = jax.jit(fwd)
 
         if self.mesh is not None:
             repl = jax.tree.map(lambda _: repl_sh, self._weights)

@@ -354,3 +354,74 @@ def test_int8_predictor_close_to_float():
     probs = p_q.predict_arrays(imgs)
     assert probs.shape == (4, 393)
     assert np.allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+
+# ------------------------------------------------- clip (video) serving
+
+
+def test_predict_clip_bytes(predictor):
+    """An ordered frame list -> ONE clip-pooled prediction; frames are
+    TSN-subsampled/repeated to the model's clip length (cfg.clip_frames,
+    default 8 for image-configured predictors)."""
+    res = predictor.predict_clip_bytes([_jpeg(i) for i in range(12)],
+                                       topk=3)
+    assert "error" not in res
+    assert len(res["topk"]) == 3
+    assert res["clip_frames"] == 8
+    assert res["frames_received"] == 12
+    # fewer frames than the clip length: frames repeat, still one result
+    res2 = predictor.predict_clip_bytes([_jpeg(0)], topk=2)
+    assert len(res2["topk"]) == 2
+    # a clip of T identical frames must predict like that frame's content
+    # (spatiotemporal pooling over identical frames preserves ranking)
+    single = predictor.predict_bytes([_jpeg(0)], topk=1)[0]
+    assert res2["topk"][0]["class"] == single["topk"][0]["class"]
+
+
+def test_predict_clip_errors(predictor):
+    assert "error" in predictor.predict_clip_bytes([])
+    assert "bad video frame" in predictor.predict_clip_bytes(
+        [b"not an image"])["error"]
+
+
+def test_predict_clip_rejected_on_int8():
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    p8 = serving.Predictor(cfg, variables["params"],
+                           variables["batch_stats"], buckets=(2,),
+                           int8=True)
+    res = p8.predict_clip_bytes([_jpeg(0)])
+    assert "error" in res and "int8" in res["error"]
+
+
+def test_http_predict_video(predictor):
+    import base64
+
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=2, max_batch=4,
+                         max_wait_ms=2.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        body = json.dumps({"frames": [
+            base64.b64encode(_jpeg(i)).decode() for i in range(4)]})
+        conn.request("POST", "/predict_video", body=body)
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert len(out["topk"]) == 2 and out["frames_received"] == 4
+        # malformed body -> 400 client error
+        conn.request("POST", "/predict_video", body="{}")
+        r = conn.getresponse()
+        assert r.status == 400
+        json.loads(r.read())
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
