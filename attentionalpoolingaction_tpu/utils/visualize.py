@@ -118,6 +118,64 @@ def make_attention_summary_hook(cfg, writer, every: int,
     return hook
 
 
+def clip_attention_overlays(model, variables, clip, *, class_idx=None,
+                            alpha: float = 0.5):
+    """Spatiotemporal attention overlays for ONE video clip.
+
+    clip: (T, H, W, 3) float32 *mean-subtracted* frames (temporal order).
+    Runs the 5-D clip forward with return_maps=True: the video-level
+    prediction's top-down map and the saliency come back per frame
+    ((1, T, h, w, C) / (1, T, h, w)), and all frames' overlays share ONE
+    normalization so hot frames read hot relative to the whole clip.
+    Returns 'top_down'/'saliency' lists of T uint8 RGB overlays, raw
+    maps/logits, the video-level 'class_idx', and 'temporal_attention':
+    each frame's share of the clip's total attention mass for the
+    predicted class — WHICH frames drove the prediction."""
+    from attentionalpoolingaction_tpu.data.preprocessing import (
+        B_MEAN, G_MEAN, R_MEAN)
+
+    out = model.apply(variables, clip[None], return_maps=True)
+    logits = np.asarray(out["logits"])[0]          # (C,)
+    maps = np.asarray(out["attn_maps"])[0]         # (T, h, w, C)
+    sal = np.asarray(out["saliency"])[0]           # (T, h, w)
+
+    c = int(logits.argmax()) if class_idx is None else int(class_idx)
+    top_maps = maps[:, :, :, c]                    # (T, h, w)
+
+    rgb = np.asarray(clip, np.float32) + np.array(
+        [R_MEAN, G_MEAN, B_MEAN], np.float32)
+    rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+
+    # one clip-wide normalization (per-frame normalize_map would erase
+    # the temporal contrast the clip head learned)
+    def norm_clip(m):
+        lo, hi = float(m.min()), float(m.max())
+        return (np.zeros_like(m) if hi - lo < 1e-12
+                else (m - lo) / (hi - lo))
+
+    top_n, sal_n = norm_clip(top_maps), norm_clip(sal)
+    h, w = rgb.shape[1:3]
+    top, bottom = [], []
+    for t in range(len(rgb)):
+        for src, dst in ((top_n[t], top), (sal_n[t], bottom)):
+            import cv2
+
+            m = upsample_map(src, h, w)
+            heat = cv2.applyColorMap((np.clip(m, 0, 1) * 255
+                                      ).astype(np.uint8),
+                                     cv2.COLORMAP_JET)
+            heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB)
+            o = (1 - alpha) * rgb[t].astype(np.float32) + alpha * heat
+            dst.append(np.clip(o, 0, 255).astype(np.uint8))
+
+    mass = np.maximum(top_maps, 0.0).sum(axis=(1, 2))
+    temporal = mass / mass.sum() if mass.sum() > 0 else np.full(
+        len(mass), 1.0 / len(mass))
+    return {"top_down": top, "saliency": bottom, "logits": logits,
+            "attn_maps": maps, "saliency_maps": sal, "class_idx": c,
+            "temporal_attention": temporal}
+
+
 def attention_overlays(model, variables, images, *, class_idx=None,
                        alpha: float = 0.5):
     """Run the model with return_maps=True and produce overlay images.

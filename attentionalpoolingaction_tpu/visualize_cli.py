@@ -28,6 +28,11 @@ flags.DEFINE_string("out_dir", "/tmp/attnpool_viz", "output directory")
 flags.DEFINE_integer("class_idx", None,
                      "class to visualize (default: predicted argmax)")
 flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_bool("clip", False,
+                  "treat --images as the ORDERED frames of one video: "
+                  "run the clip-level spatiotemporal forward and write "
+                  "per-frame overlays plus the temporal attention "
+                  "distribution (which frames drove the prediction)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None, "force a JAX backend")
 flags.mark_flag_as_required("workdir")
@@ -63,14 +68,32 @@ def main(argv):
     model = build_model(cfg)
     images = np.stack([
         load_and_preprocess(p, cfg.image_size) for p in FLAGS.images])
-    out = viz.attention_overlays(
-        model,
-        {"params": restored.params, "batch_stats": restored.batch_stats},
-        images, class_idx=FLAGS.class_idx)
+    variables = {"params": restored.params,
+                 "batch_stats": restored.batch_stats}
 
     import cv2
 
     os.makedirs(FLAGS.out_dir, exist_ok=True)
+    if FLAGS.clip:
+        out = viz.clip_attention_overlays(model, variables, images,
+                                          class_idx=FLAGS.class_idx)
+        for t, src_path in enumerate(FLAGS.images):
+            stem = os.path.splitext(os.path.basename(src_path))[0]
+            for kind in ("top_down", "saliency"):
+                dst = os.path.join(FLAGS.out_dir,
+                                   f"{stem}_t{t:03d}_{kind}.png")
+                cv2.imwrite(dst, cv2.cvtColor(out[kind][t],
+                                              cv2.COLOR_RGB2BGR))
+        ta = ", ".join(f"t{t}={v:.3f}"
+                       for t, v in enumerate(out["temporal_attention"]))
+        logging.info("video: predicted class %d", out["class_idx"])
+        print(f"predicted class {out['class_idx']}; "
+              f"temporal attention: {ta}")
+        print(f"wrote {2 * len(FLAGS.images)} overlays to {FLAGS.out_dir}")
+        return
+
+    out = viz.attention_overlays(model, variables, images,
+                                 class_idx=FLAGS.class_idx)
     for i, src_path in enumerate(FLAGS.images):
         stem = os.path.splitext(os.path.basename(src_path))[0]
         for kind in ("top_down", "saliency"):

@@ -80,3 +80,25 @@ def test_attention_overlays_end_to_end(rng):
     # explicit class selection
     out2 = viz.attention_overlays(model, variables, images, class_idx=3)
     assert (out2["class_idx"] == 3).all()
+
+
+def test_clip_attention_overlays(rng):
+    """Clip visualization: T per-frame overlays from ONE spatiotemporal
+    forward, a video-level predicted class, and a temporal attention
+    distribution that sums to 1."""
+    model = ActionModel(num_classes=6, backbone="resnet_v1_50",
+                        pooling="attention", rank=1)
+    clip = np.asarray(rng.normal(0, 60, size=(3, 64, 64, 3)), np.float32)
+    variables = model.init(jax.random.key(0),
+                           jnp.asarray(clip[None][:, 0]), train=False)
+    out = viz.clip_attention_overlays(model, variables, clip)
+    assert len(out["top_down"]) == 3 and len(out["saliency"]) == 3
+    for img in out["top_down"] + out["saliency"]:
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert 0 <= out["class_idx"] < 6
+    ta = out["temporal_attention"]
+    assert ta.shape == (3,)
+    np.testing.assert_allclose(ta.sum(), 1.0, atol=1e-5)
+    # explicit class selection
+    out2 = viz.clip_attention_overlays(model, variables, clip, class_idx=2)
+    assert out2["class_idx"] == 2
