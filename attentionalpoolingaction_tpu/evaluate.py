@@ -163,10 +163,11 @@ def make_eval_input(cfg: config_lib.TrainConfig, spec,
             raise ValueError(
                 "clip_frames > 1 eval requires input_pipeline='grain' "
                 "(the clip sampler runs on the random-access video index)")
-        if multicrop or cfg.eval_int8:
+        if multicrop:
             raise ValueError(
-                "clip_frames > 1 composes with neither eval_multicrop "
-                "nor eval_int8 (single-crop bf16/f32 clip eval only)")
+                "clip_frames > 1 does not compose with eval_multicrop "
+                "(use eval_clips=K for the temporal analog); eval_int8 "
+                "works — folded_forward takes 5-D clips")
         return iter(grain_pipeline.make_video_clip_eval_dataset(
             cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
             image_size=cfg.image_size,

@@ -183,6 +183,16 @@ def folded_forward(folded, head, images, *, backbone: str = "resnet_v1_101",
     it the int8 path quantizes activations dynamically (per-example absmax).
     Jit with backbone/pooling/act_scales closed over (they are static).
     """
+    # video clips (config.clip_frames / ActionModel's 5-D path): frames
+    # fold into the conv batch, and the pooling below spans all T*h*w
+    # positions after the un-fold — identical semantics to the live
+    # clip forward, so int8 video serving matches bf16's protocol
+    clip_t = None
+    if images.ndim == 5:
+        if pose_head is not None:
+            raise ValueError("pose_head is per-image; no clip support")
+        b0, clip_t = images.shape[:2]
+        images = images.reshape((b0 * clip_t,) + images.shape[2:])
     conv = functools.partial(_conv, act_scales=act_scales, capture=capture,
                              dtype=dtype, dot_1x1=dot_1x1)
     x = conv(images.astype(dtype), folded["conv1"], 7, 2, cid="conv1")
@@ -207,6 +217,9 @@ def folded_forward(folded, head, images, *, backbone: str = "resnet_v1_101",
             x = jax.nn.relu(shortcut + r)
 
     feats = x.astype(jnp.float32)
+    if clip_t is not None:
+        bt, fh, fw, ff = feats.shape
+        feats = feats.reshape(bt // clip_t, clip_t * fh, fw, ff)
     bsz, h, w, f = feats.shape
     out = {"features": feats}
     if pooling == "avg":

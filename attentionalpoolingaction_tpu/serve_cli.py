@@ -17,7 +17,7 @@ Endpoints:
                            -> {"results": [{"topk": [...]}, ...]}
     POST /predict_video    body = {"frames": [<base64>, ...]} (ordered)
                            -> one clip-pooled {"topk": [...]} per video
-                           (live bf16 predictor only)
+                           (bf16 and --int8; not from AOT artifacts)
 """
 
 from __future__ import annotations

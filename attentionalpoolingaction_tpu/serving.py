@@ -222,8 +222,8 @@ class BucketedPredictor:
             resize_min=self.cfg.resize_min_resolved, keep_uint8=True)
         return img
 
-    # set True by the live bf16 Predictor: clip pooling needs the real
-    # 5-D model forward (int8 BN-folding and AOT artifacts are per-image)
+    # set True by the live Predictor (bf16 AND int8 — both forwards take
+    # 5-D clips); AOT artifacts export the per-image forward only
     supports_clips = False
 
     def predict_clip_bytes(self, frame_blobs: Sequence[bytes],
@@ -236,9 +236,9 @@ class BucketedPredictor:
         config.clip_frames / ActionModel's 5-D path).  Returns
         {"topk": [...]} or {"error": ...}."""
         if not self.supports_clips:
-            return {"error": "clip prediction requires a live bf16 "
-                             "predictor (int8 and AOT-exported predictors "
-                             "are per-image); serve without --int8/"
+            return {"error": "clip prediction requires a live predictor "
+                             "(AOT artifacts export the per-image forward "
+                             "only); serve from a checkpoint instead of "
                              "--exported_dir"}
         if not frame_blobs:
             return {"error": "bad video: no frames"}
@@ -332,6 +332,11 @@ class Predictor(BucketedPredictor):
                     backbone=cfg.backbone,
                     pooling="avg" if cfg.pooling == "avg" else "attention",
                     act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
+
+            # folded_forward handles 5-D clips (frames fold into the conv
+            # batch), so int8 video serving matches the bf16 protocol
+            self.supports_clips = True
+            self._clip_fwd = jax.jit(fwd)
         else:
             model = build_model(cfg)
             self._weights = {"params": params, "batch_stats": batch_stats}

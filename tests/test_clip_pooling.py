@@ -372,7 +372,25 @@ def test_clip_config_guards(hmdb_records, tmp_path):
                                 workdir=str(tmp_path / "g2"))
     with pytest.raises(ValueError, match="video"):
         train_lib.train(cfg, num_steps=1)
-    # clip eval composes with neither multicrop nor int8
+    # clip eval composes with eval_clips/int8 but NOT multicrop
     cfg = config_lib.get_config("hmdb51_clip8", **base, eval_multicrop=3)
-    with pytest.raises(ValueError, match="multicrop|int8"):
+    with pytest.raises(ValueError, match="multicrop"):
         eval_lib.make_eval_input(cfg, spec)
+
+
+def test_clip_eval_int8(hmdb_records, tmp_path):
+    """eval_int8 composes with clips: folded_forward folds T into the
+    conv batch and pools over T*h*w, matching the live clip protocol."""
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+
+    path, _ = hmdb_records
+    cfg = config_lib.get_config(
+        "hmdb51_clip8", backbone="resnet_v1_50", clip_frames=2,
+        image_size=64, batch_size=2, eval_batch_size=2, resize_min=70,
+        bf16_backbone=False, eval_pattern=path, eval_int8=True,
+        workdir=str(tmp_path / "i8"))
+    state, _, _, _ = train_lib.create_state(cfg)
+    res = eval_lib.evaluate(cfg, state)
+    assert res["num_videos"] == 4
+    assert 0.0 <= res["accuracy"] <= 1.0

@@ -224,3 +224,13 @@ def test_exported_http_serving(artifact):
         server.shutdown()
         server.batcher.stop()
         server.server_close()
+
+
+def test_exported_predictor_rejects_clips(artifact):
+    """AOT artifacts export the per-image forward only: a video request
+    gets a clear error dict, not a shape crash."""
+    _, _, out, _ = artifact
+    loaded = export_lib.load_exported(out)
+    assert not loaded.supports_clips
+    res = loaded.predict_clip_bytes([b"x"])
+    assert "error" in res and "per-image" in res["error"]

@@ -384,17 +384,30 @@ def test_predict_clip_errors(predictor):
         [b"not an image"])["error"]
 
 
-def test_predict_clip_rejected_on_int8():
-    cfg = _tiny_cfg()
+def test_predict_clip_int8():
+    """int8 video serving: folded_forward takes 5-D clips, so the
+    quantized predictor serves /predict_video with the same clip-pooling
+    semantics as bf16 (logit agreement, not just no-crash)."""
+    cfg = _tiny_cfg(clip_frames=2)
     model = ActionModel(num_classes=393, backbone=cfg.backbone,
                         pooling=cfg.pooling, rank=cfg.rank)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
                            train=False)
-    p8 = serving.Predictor(cfg, variables["params"],
-                           variables["batch_stats"], buckets=(2,),
-                           int8=True)
-    res = p8.predict_clip_bytes([_jpeg(0)])
-    assert "error" in res and "int8" in res["error"]
+    p_f = serving.Predictor(cfg, variables["params"],
+                            variables["batch_stats"], buckets=(2,))
+    p_q = serving.Predictor(cfg, variables["params"],
+                            variables["batch_stats"], buckets=(2,),
+                            int8=True)
+    res = p_q.predict_clip_bytes([_jpeg(i) for i in range(5)], topk=3)
+    assert "error" not in res and len(res["topk"]) == 3
+    assert res["clip_frames"] == 2
+    clip = np.random.default_rng(0).integers(
+        0, 255, (1, 2, 64, 64, 3)).astype(np.uint8)
+    a = np.asarray(p_f._clip_fwd(p_f._weights, clip), np.float64)
+    b = np.asarray(p_q._clip_fwd(p_q._weights, clip), np.float64)
+    cos = (a.ravel() @ b.ravel()) / (
+        np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9
 
 
 def test_http_predict_video(predictor):
