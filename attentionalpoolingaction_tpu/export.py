@@ -85,19 +85,30 @@ def _leaf_key(i: int) -> str:
 
 def export_predictor(predictor: serving.Predictor, out_dir: str, *,
                      platforms: Sequence[str] = ("cpu", "tpu"),
-                     input_dtypes: Sequence = (np.uint8, np.float32)
-                     ) -> dict:
+                     input_dtypes: Sequence = (np.uint8, np.float32),
+                     include_clip: bool | None = None) -> dict:
     """Serialize a live Predictor's forward + weights into ``out_dir``.
 
     Returns the written manifest.  One ``fwd_<dtype>.bin`` per entry of
     ``input_dtypes`` (jit keys on input dtype, so uint8 raw-RGB requests
-    and pre-normalized float32 arrays are distinct traces)."""
+    and pre-normalized float32 arrays are distinct traces).
+
+    ``include_clip`` additionally exports the video forward
+    (``clip_<dtype>.bin``: symbolic video batch x clip_frames frames) so
+    a loaded artifact serves /predict_video too; defaults to True for
+    clip-configured predictors (cfg.clip_frames > 1)."""
     if predictor.mesh is not None:
         raise ValueError(
             "data_parallel predictors export per-device shardings that "
             "would pin the artifact to this host's topology; export a "
             "single-device predictor and enable data_parallel at serve "
             "time instead")
+    if include_clip is None:
+        include_clip = (predictor.supports_clips
+                        and predictor.cfg.clip_frames > 1)
+    if include_clip and not predictor.supports_clips:
+        raise ValueError("include_clip=True needs a live predictor with "
+                         "a clip forward")
     os.makedirs(out_dir, exist_ok=True)
 
     leaves, treedef = jax.tree_util.tree_flatten(predictor._weights)
@@ -121,6 +132,27 @@ def export_predictor(predictor: serving.Predictor, out_dir: str, *,
             f.write(exp.serialize())
         dtype_names.append(name)
 
+    clip_t = None
+    if include_clip:
+        clip_fwd = predictor._clip_fwd
+
+        def clip_flat(flat, clip):
+            return clip_fwd(
+                jax.tree_util.tree_unflatten(treedef, flat), clip)
+
+        clip_t = (predictor.cfg.clip_frames
+                  if predictor.cfg.clip_frames > 1 else 8)
+        for dt in input_dtypes:
+            name = np.dtype(dt).name
+            clip_spec = jax.ShapeDtypeStruct(
+                (batch, clip_t, size, size, 3), np.dtype(dt))
+            exp = jex.export(jax.jit(clip_flat),
+                             platforms=list(platforms))(
+                leaf_specs, clip_spec)
+            with open(os.path.join(out_dir, f"clip_{name}.bin"),
+                      "wb") as f:
+                f.write(exp.serialize())
+
     # leaves ship as raw little-endian bytes: np.savez cannot represent
     # extension dtypes (bfloat16), and a float32 upcast would silently
     # change the traced dtypes the export was specialized on
@@ -136,6 +168,9 @@ def export_predictor(predictor: serving.Predictor, out_dir: str, *,
         "buckets": list(predictor.buckets),
         "platforms": list(platforms),
         "input_dtypes": dtype_names,
+        # non-null => clip_<dtype>.bin files exist and the loaded
+        # artifact serves /predict_video at this clip length
+        "clip_frames": clip_t,
         "leaves": [{"dtype": str(x.dtype), "shape": list(x.shape)}
                    for x in np_leaves],
         "jax_version": jax.__version__,
@@ -222,6 +257,28 @@ class ExportedPredictor(serving.BucketedPredictor):
             return calls[key](weights, images)
 
         self._fwd = dispatch
+
+        # clip (video) forward: present when exported with include_clip
+        # (export_predictor writes clip_<dtype>.bin + manifest clip_frames)
+        self.clip_t = manifest.get("clip_frames")
+        if self.clip_t:
+            clip_calls = {}
+            for name in manifest["input_dtypes"]:
+                with open(os.path.join(artifact_dir, f"clip_{name}.bin"),
+                          "rb") as f:
+                    clip_calls[np.dtype(name)] = jax.jit(
+                        jex.deserialize(f.read()).call)
+            self.supports_clips = True
+
+            def clip_dispatch(weights, clip):
+                key = np.dtype(clip.dtype)
+                if key not in clip_calls:
+                    raise TypeError(
+                        f"artifact exports clip dtypes "
+                        f"{manifest['input_dtypes']}; got {key.name}")
+                return clip_calls[key](weights, clip)
+
+            self._clip_fwd = clip_dispatch
 
     def warmup(self, dtypes=None):
         """Default to the manifest's exported dtypes: the base class's

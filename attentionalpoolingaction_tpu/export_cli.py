@@ -86,6 +86,16 @@ def main(argv):
                             - predictor.predict_arrays(imgs)).max())
         print(f"EXPORT PARITY[{name}] max|dprob| = {diff:.3g}")
         worst = max(worst, diff)
+    if manifest.get("clip_frames"):
+        # clip-configured exports carry the video forward too — gate it
+        t = manifest["clip_frames"]
+        clip = rng.integers(0, 255,
+                            (1, t) + shape[1:]).astype(np.uint8)
+        a = np.asarray(loaded._clip_fwd(loaded._weights, clip))
+        b = np.asarray(predictor._clip_fwd(predictor._weights, clip))
+        diff = float(np.abs(a - b).max())
+        print(f"EXPORT PARITY[clip T={t}] max|dlogit| = {diff:.3g}")
+        worst = max(worst, diff)
     if worst > 1e-6:
         raise SystemExit(f"export parity failed: {worst}")
 

@@ -245,7 +245,10 @@ class BucketedPredictor:
         from attentionalpoolingaction_tpu.data.grain_pipeline import (
             _segment_picks)
 
-        t = self.cfg.clip_frames if self.cfg.clip_frames > 1 else 8
+        # AOT artifacts fix the clip length at export (manifest
+        # clip_frames -> self.clip_t); live predictors derive it from cfg
+        t = getattr(self, "clip_t", None) or (
+            self.cfg.clip_frames if self.cfg.clip_frames > 1 else 8)
         picks = _segment_picks(len(frame_blobs), t)
         try:
             frames = [self.preprocess(frame_blobs[p]) for p in picks]

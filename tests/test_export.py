@@ -234,3 +234,34 @@ def test_exported_predictor_rejects_clips(artifact):
     assert not loaded.supports_clips
     res = loaded.predict_clip_bytes([b"x"])
     assert "error" in res and "per-image" in res["error"]
+
+
+def test_clip_artifact_roundtrip(tmp_path):
+    """A clip-configured predictor exports the video forward too: the
+    loaded artifact serves predict_clip_bytes identically to the live
+    predictor (same TSN subsampling, same clip length from the
+    manifest)."""
+    import cv2
+
+    cfg = _tiny_cfg(clip_frames=2)
+    v = _variables(cfg)
+    live = serving.Predictor(cfg, v["params"], v["batch_stats"],
+                             buckets=(2,))
+    out = str(tmp_path / "clip_artifact")
+    manifest = export_lib.export_predictor(live, out)
+    assert manifest["clip_frames"] == 2
+    assert {"clip_uint8.bin", "clip_float32.bin"} <= set(os.listdir(out))
+    loaded = export_lib.load_exported(out)
+    assert loaded.supports_clips and loaded.clip_t == 2
+    rng = np.random.default_rng(0)
+    blobs = []
+    for i in range(5):
+        ok, buf = cv2.imencode(
+            ".jpg", rng.integers(0, 255, (80, 80, 3), np.uint8))
+        assert ok
+        blobs.append(bytes(buf.tobytes()))
+    assert loaded.predict_clip_bytes(blobs, topk=3) == \
+        live.predict_clip_bytes(blobs, topk=3)
+    # image artifacts (clip_frames=1, default include_clip=False) still
+    # reject video requests — covered by
+    # test_exported_predictor_rejects_clips
