@@ -154,6 +154,10 @@ def make_eval_input(cfg: config_lib.TrainConfig, spec,
     from attentionalpoolingaction_tpu.data import pipeline
 
     multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    if cfg.eval_clips > 1 and cfg.clip_frames <= 1:
+        raise ValueError(
+            f"eval_clips={cfg.eval_clips} requires clip mode "
+            "(clip_frames > 1) — per-frame eval would silently ignore it")
     if cfg.clip_frames > 1:
         # clip-level eval: one deterministic (T, H, W, 3) clip per VIDEO
         # (segment centers) — each row's logits are already video-level,
@@ -320,7 +324,16 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
         _, avg, vid_labels = metrics_lib.video_average_logits(
             vids, logits, labels)
         results["accuracy"] = metrics_lib.accuracy(vid_labels, avg)
-        results["per_frame_accuracy"] = metrics_lib.accuracy(labels, logits)
+        if cfg.clip_frames > 1:
+            # each row is a CLIP (already video-level), not a frame; the
+            # row-level number is only informative with several clips
+            # per video (accuracy of single clips before averaging)
+            if cfg.eval_clips > 1:
+                results["per_clip_accuracy"] = metrics_lib.accuracy(
+                    labels, logits)
+        else:
+            results["per_frame_accuracy"] = metrics_lib.accuracy(
+                labels, logits)
         results["num_videos"] = int(avg.shape[0])
     log.info("eval %s: %s", cfg.dataset, results)
     return results

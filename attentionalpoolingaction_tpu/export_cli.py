@@ -88,13 +88,18 @@ def main(argv):
         worst = max(worst, diff)
     if manifest.get("clip_frames"):
         # clip-configured exports carry the video forward too — gate it
+        # on PROBABILITIES like the image checks (the 1e-6 threshold is
+        # calibrated for probs; raw logits would make this check orders
+        # of magnitude stricter than its neighbors)
         t = manifest["clip_frames"]
         clip = rng.integers(0, 255,
                             (1, t) + shape[1:]).astype(np.uint8)
-        a = np.asarray(loaded._clip_fwd(loaded._weights, clip))
-        b = np.asarray(predictor._clip_fwd(predictor._weights, clip))
+        a = loaded._probs(np.asarray(
+            loaded._clip_fwd(loaded._weights, clip), np.float32))
+        b = predictor._probs(np.asarray(
+            predictor._clip_fwd(predictor._weights, clip), np.float32))
         diff = float(np.abs(a - b).max())
-        print(f"EXPORT PARITY[clip T={t}] max|dlogit| = {diff:.3g}")
+        print(f"EXPORT PARITY[clip T={t}] max|dprob| = {diff:.3g}")
         worst = max(worst, diff)
     if worst > 1e-6:
         raise SystemExit(f"export parity failed: {worst}")

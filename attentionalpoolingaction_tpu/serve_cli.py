@@ -17,7 +17,8 @@ Endpoints:
                            -> {"results": [{"topk": [...]}, ...]}
     POST /predict_video    body = {"frames": [<base64>, ...]} (ordered)
                            -> one clip-pooled {"topk": [...]} per video
-                           (bf16 and --int8; not from AOT artifacts)
+                           (bf16, --int8, and clip-exported artifacts;
+                           per-image artifacts return a clear error)
 """
 
 from __future__ import annotations

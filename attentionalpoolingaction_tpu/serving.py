@@ -178,12 +178,20 @@ class BucketedPredictor:
         jit keys on dtype; the default warms uint8 — the dtype
         predict_bytes' keep_uint8 host path actually sends.  Library
         callers that feed float arrays should pass
-        ``dtypes=(np.uint8, np.float32)`` (VERDICT r2 weak #5)."""
+        ``dtypes=(np.uint8, np.float32)`` (VERDICT r2 weak #5).  Clip
+        predictors also warm the (1, T, H, W, 3) video shape — the first
+        /predict_video request must not pay the compile either."""
+        size = self.cfg.image_size
         for dt in dtypes:
             for b in self.buckets:
-                z = np.zeros(
-                    (b, self.cfg.image_size, self.cfg.image_size, 3), dt)
+                z = np.zeros((b, size, size, 3), dt)
                 jax.block_until_ready(self._fwd(self._weights, z))
+            if self.supports_clips:
+                t = getattr(self, "clip_t", None) or (
+                    self.cfg.clip_frames if self.cfg.clip_frames > 1
+                    else 8)
+                zc = np.zeros((1, t, size, size, 3), dt)
+                jax.block_until_ready(self._clip_fwd(self._weights, zc))
 
     # -- inference -------------------------------------------------------
     def predict_arrays(self, images: np.ndarray) -> np.ndarray:
@@ -223,7 +231,8 @@ class BucketedPredictor:
         return img
 
     # set True by the live Predictor (bf16 AND int8 — both forwards take
-    # 5-D clips); AOT artifacts export the per-image forward only
+    # 5-D clips) and by ExportedPredictor when the artifact carries a
+    # clip forward (export_predictor include_clip)
     supports_clips = False
 
     def predict_clip_bytes(self, frame_blobs: Sequence[bytes],
@@ -236,10 +245,11 @@ class BucketedPredictor:
         config.clip_frames / ActionModel's 5-D path).  Returns
         {"topk": [...]} or {"error": ...}."""
         if not self.supports_clips:
-            return {"error": "clip prediction requires a live predictor "
-                             "(AOT artifacts export the per-image forward "
-                             "only); serve from a checkpoint instead of "
-                             "--exported_dir"}
+            return {"error": "this predictor has no clip forward (the "
+                             "artifact was exported per-image); re-export "
+                             "with export_predictor(include_clip=True) / "
+                             "a clip_frames>1 config, or serve from the "
+                             "checkpoint"}
         if not frame_blobs:
             return {"error": "bad video: no frames"}
         from attentionalpoolingaction_tpu.data.grain_pipeline import (

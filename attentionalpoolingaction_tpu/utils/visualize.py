@@ -26,13 +26,17 @@ def normalize_map(m: np.ndarray) -> np.ndarray:
 
 
 def overlay_heatmap(image_rgb: np.ndarray, attn: np.ndarray,
-                    alpha: float = 0.5) -> np.ndarray:
+                    alpha: float = 0.5, *,
+                    prenormalized: bool = False) -> np.ndarray:
     """Blend a normalized attention map over an RGB uint8 image (JET
-    colormap), returning uint8 RGB."""
+    colormap), returning uint8 RGB.  ``prenormalized`` skips the per-map
+    min/max stretch — pass maps already normalized over a larger scope
+    (e.g. a whole clip) so their relative intensity survives."""
     import cv2
 
     h, w = image_rgb.shape[:2]
-    m = normalize_map(upsample_map(attn, h, w))
+    m = upsample_map(attn, h, w)
+    m = np.clip(m, 0.0, 1.0) if prenormalized else normalize_map(m)
     heat = cv2.applyColorMap((m * 255).astype(np.uint8), cv2.COLORMAP_JET)
     heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB)
     out = (1 - alpha) * image_rgb.astype(np.float32) + alpha * heat
@@ -146,27 +150,16 @@ def clip_attention_overlays(model, variables, clip, *, class_idx=None,
         [R_MEAN, G_MEAN, B_MEAN], np.float32)
     rgb = np.clip(rgb, 0, 255).astype(np.uint8)
 
-    # one clip-wide normalization (per-frame normalize_map would erase
-    # the temporal contrast the clip head learned)
-    def norm_clip(m):
-        lo, hi = float(m.min()), float(m.max())
-        return (np.zeros_like(m) if hi - lo < 1e-12
-                else (m - lo) / (hi - lo))
-
-    top_n, sal_n = norm_clip(top_maps), norm_clip(sal)
-    h, w = rgb.shape[1:3]
+    # ONE normalization over the whole (T, h, w) stack, then per-frame
+    # prenormalized overlays — normalizing each frame separately would
+    # erase the temporal contrast the clip head learned
+    top_n, sal_n = normalize_map(top_maps), normalize_map(sal)
     top, bottom = [], []
     for t in range(len(rgb)):
-        for src, dst in ((top_n[t], top), (sal_n[t], bottom)):
-            import cv2
-
-            m = upsample_map(src, h, w)
-            heat = cv2.applyColorMap((np.clip(m, 0, 1) * 255
-                                      ).astype(np.uint8),
-                                     cv2.COLORMAP_JET)
-            heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB)
-            o = (1 - alpha) * rgb[t].astype(np.float32) + alpha * heat
-            dst.append(np.clip(o, 0, 255).astype(np.uint8))
+        top.append(overlay_heatmap(rgb[t], top_n[t], alpha,
+                                   prenormalized=True))
+        bottom.append(overlay_heatmap(rgb[t], sal_n[t], alpha,
+                                      prenormalized=True))
 
     mass = np.maximum(top_maps, 0.0).sum(axis=(1, 2))
     temporal = mass / mass.sum() if mass.sum() > 0 else np.full(

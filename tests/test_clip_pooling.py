@@ -376,6 +376,11 @@ def test_clip_config_guards(hmdb_records, tmp_path):
     cfg = config_lib.get_config("hmdb51_clip8", **base, eval_multicrop=3)
     with pytest.raises(ValueError, match="multicrop"):
         eval_lib.make_eval_input(cfg, spec)
+    # eval_clips without clip mode is a loud error, not silently ignored
+    cfg = config_lib.get_config("hmdb51_rgb", eval_pattern=path,
+                                eval_clips=10)
+    with pytest.raises(ValueError, match="eval_clips"):
+        eval_lib.make_eval_input(cfg, spec)
 
 
 def test_clip_eval_int8(hmdb_records, tmp_path):

@@ -378,6 +378,21 @@ def test_predict_clip_bytes(predictor):
     assert res2["topk"][0]["class"] == single["topk"][0]["class"]
 
 
+def test_warmup_covers_clip_shape():
+    """warmup() must pre-compile the clip forward too — the first
+    /predict_video request must not pay a JIT."""
+    cfg = _tiny_cfg(clip_frames=2)
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    p = serving.Predictor(cfg, variables["params"],
+                          variables["batch_stats"], buckets=(2,))
+    assert p._clip_fwd._cache_size() == 0
+    p.warmup()
+    assert p._clip_fwd._cache_size() >= 1
+
+
 def test_predict_clip_errors(predictor):
     assert "error" in predictor.predict_clip_bytes([])
     assert "bad video frame" in predictor.predict_clip_bytes(
