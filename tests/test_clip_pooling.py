@@ -255,6 +255,31 @@ def test_multiclip_eval_e2e(hmdb_records, tmp_path):
     assert 0.0 <= res3["accuracy"] <= 1.0
 
 
+def test_clip_iterator_exact_resume(hmdb_records):
+    """The clip train iterator checkpoints like any Grain iterator: a
+    fresh iterator restored from a JSON-roundtripped state reproduces
+    the stream exactly (mid-epoch crash-resume with clip sampling)."""
+    import json
+
+    from attentionalpoolingaction_tpu.data import grain_pipeline as gp
+
+    path, spec = hmdb_records
+    kw = dict(batch_size=2, image_size=48, resize_min=52, resize_max=56,
+              seed=3, clip_frames=3, video_sampling=True)
+    it = gp.make_train_iterator(path, spec, **kw)
+    for _ in range(2):
+        next(it)
+    state = json.loads(json.dumps(it.get_state()))
+    want = next(it)
+
+    it2 = gp.make_train_iterator(path, spec, **kw)
+    it2.set_state(state)
+    got = next(it2)
+    np.testing.assert_array_equal(want["image"], got["image"])
+    np.testing.assert_array_equal(want["frame"], got["frame"])
+    np.testing.assert_array_equal(want["video_id"], got["video_id"])
+
+
 def test_shared_clip_geometry(hmdb_records):
     """All frames of a clip get the SAME crop/flip: preprocessing the
     same encoded frame twice inside one clip yields identical pixels."""
