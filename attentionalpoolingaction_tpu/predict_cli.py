@@ -11,6 +11,10 @@ Usage:
     # or from an AOT artifact (export_cli) — no model code/checkpoint:
     python -m attentionalpoolingaction_tpu.predict_cli \
         --exported_dir /tmp/artifact --images a.jpg b.jpg
+    # one VIDEO (ordered frames) -> one clip-pooled prediction:
+    python -m attentionalpoolingaction_tpu.predict_cli \
+        --config hmdb51_clip8 --workdir /tmp/run2 --video \
+        --images f000.jpg f001.jpg f002.jpg
 """
 
 from __future__ import annotations
@@ -31,6 +35,11 @@ flags.DEFINE_string(
     "checkpoint-only flags (--int8/--ema/--step/--set) are an error "
     "with this (the artifact fixed them at export time)")
 flags.DEFINE_multi_string("images", [], "input image paths")
+flags.DEFINE_bool("video", False,
+                  "treat --images as the ORDERED frames of ONE video: "
+                  "TSN-subsample to the model's clip length and print a "
+                  "single clip-pooled prediction (the offline "
+                  "counterpart of serve_cli's /predict_video)")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("batch_size", 32, "inference batch size")
 flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
@@ -70,6 +79,16 @@ def main(argv):
     else:
         raise app.UsageError("one of --workdir / --exported_dir required")
     paths = list(FLAGS.images)
+    if FLAGS.video:
+        blobs = []
+        for p in paths:
+            with open(p, "rb") as f:
+                blobs.append(f.read())
+        res = predictor.predict_clip_bytes(blobs, topk=FLAGS.topk)
+        if "error" in res:
+            raise SystemExit(res["error"])
+        print(json.dumps({"frames": paths, **res}), flush=True)
+        return
     for lo in range(0, len(paths), FLAGS.batch_size):
         chunk = paths[lo:lo + FLAGS.batch_size]
         blobs = []

@@ -239,6 +239,13 @@ def test_export_cli_then_serve_exported(tmp_path):
     assert r.returncode != 0
     assert "--ema" in (r.stderr + r.stdout)
 
+    # --video on a per-image artifact: clean nonzero exit with the
+    # re-export hint, not a shape crash
+    r = run_cli("attentionalpoolingaction_tpu.predict_cli",
+                "--exported_dir", artifact, "--images", img_p, "--video")
+    assert r.returncode != 0
+    assert "clip" in (r.stderr + r.stdout)
+
 
 @pytest.mark.slow
 def test_sigterm_preempts_cleanly(tmp_path):
