@@ -375,6 +375,13 @@ def test_clip_learning_gate(tmp_path):
     assert last < 1.5, last
     res = eval_lib.evaluate(cfg, state)
     assert res["accuracy"] >= 0.5, res    # chance on 4 classes = 0.25
+    # PTQ on the TRAINED weights must preserve the learned clip behavior
+    # on the real protocol (not just logit cosine on random init)
+    import dataclasses
+
+    res8 = eval_lib.evaluate(
+        dataclasses.replace(cfg, eval_int8=True), state)
+    assert res8["accuracy"] >= 0.5, res8
 
 
 def test_clip_config_guards(hmdb_records, tmp_path):
