@@ -178,19 +178,22 @@ class BucketedPredictor:
         jit keys on dtype; the default warms uint8 — the dtype
         predict_bytes' keep_uint8 host path actually sends.  Library
         callers that feed float arrays should pass
-        ``dtypes=(np.uint8, np.float32)`` (VERDICT r2 weak #5).  Clip
-        predictors also warm the (1, T, H, W, 3) video shape — the first
-        /predict_video request must not pay the compile either."""
+        ``dtypes=(np.uint8, np.float32)`` (VERDICT r2 weak #5).
+        CLIP-CONFIGURED predictors (clip_frames > 1, or an artifact whose
+        manifest carries a clip forward) also warm the (1, T, H, W, 3)
+        video shape — their first /predict_video must not pay the compile.
+        Image-configured deployments that happen to support clips do NOT
+        pay that extra compile at startup; their first video request (if
+        one ever arrives) JITs lazily."""
         size = self.cfg.image_size
+        clip_configured = bool(getattr(self, "clip_t", None)) or (
+            self.cfg.clip_frames > 1)
         for dt in dtypes:
             for b in self.buckets:
                 z = np.zeros((b, size, size, 3), dt)
                 jax.block_until_ready(self._fwd(self._weights, z))
-            if self.supports_clips:
-                t = getattr(self, "clip_t", None) or (
-                    self.cfg.clip_frames if self.cfg.clip_frames > 1
-                    else 8)
-                zc = np.zeros((1, t, size, size, 3), dt)
+            if self.supports_clips and clip_configured:
+                zc = np.zeros((1, self.clip_length, size, size, 3), dt)
                 jax.block_until_ready(self._clip_fwd(self._weights, zc))
 
     # -- inference -------------------------------------------------------
@@ -230,10 +233,24 @@ class BucketedPredictor:
             resize_min=self.cfg.resize_min_resolved, keep_uint8=True)
         return img
 
-    # set True by the live Predictor (bf16 AND int8 — both forwards take
-    # 5-D clips) and by ExportedPredictor when the artifact carries a
-    # clip forward (export_predictor include_clip)
+    # set True by the live Predictor (bf16 for avg/attention pooling; int8
+    # always — folded_forward serves the attention logits and takes 5-D
+    # clips) and by ExportedPredictor when the artifact carries a clip
+    # forward (export_predictor include_clip)
     supports_clips = False
+
+    @property
+    def clip_length(self) -> int:
+        """Clip length T this predictor serves videos at.  AOT artifacts
+        fix it at export (manifest clip_frames -> self.clip_t); live
+        predictors derive it from cfg; image-configured predictors that
+        still accept videos default to 8 frames.  The single source of
+        truth for warmup, predict_clip_bytes, and export_predictor — they
+        must agree or warmup compiles a different shape than dispatch."""
+        t = getattr(self, "clip_t", None)
+        if t:
+            return int(t)
+        return self.cfg.clip_frames if self.cfg.clip_frames > 1 else 8
 
     def predict_clip_bytes(self, frame_blobs: Sequence[bytes],
                            topk: int = 5):
