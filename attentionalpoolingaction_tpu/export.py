@@ -140,8 +140,9 @@ def export_predictor(predictor: serving.Predictor, out_dir: str, *,
             return clip_fwd(
                 jax.tree_util.tree_unflatten(treedef, flat), clip)
 
-        clip_t = (predictor.cfg.clip_frames
-                  if predictor.cfg.clip_frames > 1 else 8)
+        # the predictor's clip_length property is the single source of
+        # truth for T (warmup / predict_clip_bytes / this manifest)
+        clip_t = predictor.clip_length
         for dt in input_dtypes:
             name = np.dtype(dt).name
             clip_spec = jax.ShapeDtypeStruct(

@@ -59,27 +59,37 @@ flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
 flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
 flags.DEFINE_integer("max_batch", 32, "dynamic batcher max coalesced batch")
 flags.DEFINE_float("max_wait_ms", 5.0, "dynamic batcher max wait")
+flags.DEFINE_integer(
+    "max_queue", 256,
+    "admission control: max queued requests before new ones get a fast "
+    "429 + Retry-After instead of waiting out the 60s future timeout")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 
 
 def make_server(predictor: serving.Predictor, host: str, port: int,
-                topk: int, max_batch: int,
-                max_wait_ms: float) -> ThreadingHTTPServer:
+                topk: int, max_batch: int, max_wait_ms: float,
+                max_queue: int | None = 256) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server — separated for tests."""
     stats = predictor.stats
     batcher = serving.DynamicBatcher(
         lambda blobs: predictor.predict_bytes(blobs, topk=topk),
-        max_batch=max_batch, max_wait_ms=max_wait_ms, stats=stats)
+        max_batch=max_batch, max_wait_ms=max_wait_ms, max_queue=max_queue,
+        stats=stats)
+    # conservative drain estimate for Retry-After: one coalesced batch per
+    # max_wait window plus a dispatch — 1s covers realistic device rates
+    retry_after = "1"
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # absl logging, not stderr spam
             logging.info("%s " + fmt, self.address_string(), *args)
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict, headers: dict = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -169,6 +179,17 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     self._json(200, {"results": results})
                 else:
                     self._json(404, {"error": "unknown path"})
+            except serving.Overloaded as exc:
+                # bounded-queue admission control: answer 429 + Retry-After
+                # NOW — the request was never enqueued, so no future, no
+                # 60s timeout, no extra device work (already counted as
+                # serving_rejected_total by submit())
+                observe_once()
+                try:
+                    self._json(429, {"error": str(exc)},
+                               headers={"Retry-After": retry_after})
+                except OSError:
+                    pass
             except (BrokenPipeError, ConnectionResetError):
                 # the client hung up while we wrote the response (e.g. its
                 # timeout < our dispatch time): the prediction itself
@@ -221,7 +242,8 @@ def main(argv):
     logging.info("compiling %s buckets...", predictor.buckets)
     predictor.warmup()
     server = make_server(predictor, FLAGS.host, FLAGS.port, FLAGS.topk,
-                         FLAGS.max_batch, FLAGS.max_wait_ms)
+                         FLAGS.max_batch, FLAGS.max_wait_ms,
+                         max_queue=FLAGS.max_queue)
     logging.info("serving %s on %s:%d (int8=%s)", served, FLAGS.host,
                  FLAGS.port, predictor.int8)
 
