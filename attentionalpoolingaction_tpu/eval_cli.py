@@ -24,7 +24,9 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("config", "mpii_rank1_224", "preset name")
 flags.DEFINE_string("eval_pattern", None, "eval TFRecord glob")
 flags.DEFINE_string("workdir", None, "run dir containing checkpoints/")
-flags.DEFINE_integer("step", None, "checkpoint step (default: latest)")
+flags.DEFINE_string("step", None,
+                    "checkpoint step: an int, or 'best' for the "
+                    "keep-best slot (default: latest)")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 flags.DEFINE_string("jax_platform", None,
                     "force a JAX backend (e.g. cpu); default = env")
@@ -60,7 +62,11 @@ def main(argv):
         overrides["workdir"] = FLAGS.workdir
     cfg = config_lib.get_config(FLAGS.config, **overrides)
 
-    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    if FLAGS.follow and FLAGS.step is not None:
+        raise app.UsageError(
+            "--follow re-evaluates each NEW checkpoint; --step (incl. "
+            "'best') is a one-shot selection — drop one of the two")
+    mgr, step_flag = ckpt_lib.manager_for_step(cfg.workdir, FLAGS.step)
     # compiled once; --follow re-evals reuse it across checkpoints
     evaluator = eval_lib.Evaluator(cfg)
 
@@ -94,12 +100,12 @@ def main(argv):
         # while training is still writing) and would silently pair
         # mixed-step logits in the eval gather.  Agree on host 0's view
         # before the collective restore.
-        step = FLAGS.step
+        step = step_flag
         if step is None:
             step = multihost.broadcast_step(mgr.latest_step())
         if step is None or eval_step(step) is None:
             raise SystemExit(
-                f"no checkpoint found under {cfg.workdir}/checkpoints")
+                f"no checkpoint found under {mgr.directory}")
         return
 
     import time

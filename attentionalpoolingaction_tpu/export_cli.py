@@ -33,7 +33,7 @@ flags.DEFINE_string("out_dir", None, "artifact output directory")
 flags.DEFINE_bool("int8", False, "export the quantized BN-folded path")
 flags.DEFINE_bool("ema", False,
                   "export the EMA weights (requires ema_decay training)")
-flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_string("step", None, "checkpoint step: an int, or 'best' for the keep-best slot (default latest)")
 flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
 flags.DEFINE_list("platforms", ["cpu", "tpu"], "lowering platforms")
 flags.DEFINE_list("input_dtypes", ["uint8", "float32"],

@@ -42,7 +42,7 @@ flags.DEFINE_bool("video", False,
                   "counterpart of serve_cli's /predict_video)")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("batch_size", 32, "inference batch size")
-flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_string("step", None, "checkpoint step: an int, or 'best' for the keep-best slot (default latest)")
 flags.DEFINE_bool("int8", False,
                   "BN-folded post-training-int8 serving path "
                   "(models/inference.py)")

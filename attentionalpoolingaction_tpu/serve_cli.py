@@ -55,7 +55,7 @@ flags.DEFINE_multi_string(
     "representative images for static int8 activation scales "
     "(omit for dynamic per-example scales)")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
-flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_string("step", None, "checkpoint step: an int, or 'best' for the keep-best slot (default latest)")
 flags.DEFINE_list("buckets", ["1", "8", "32"], "batch-size buckets")
 flags.DEFINE_integer("max_batch", 32, "dynamic batcher max coalesced batch")
 flags.DEFINE_float("max_wait_ms", 5.0, "dynamic batcher max wait")

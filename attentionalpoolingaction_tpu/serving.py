@@ -518,7 +518,10 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
                    data_parallel: bool = False,
                    use_ema: bool = False) -> Predictor:
     """Restore the latest (or ``step``) checkpoint under cfg.workdir and
-    build a ready Predictor.
+    build a ready Predictor.  ``step`` may also be the string ``"best"``:
+    the keep-best slot written by train_cli's eval hook
+    (checkpoint.BestKeeper) — the standard deployment source for runs
+    that peaked mid-training.
 
     ``use_ema`` serves the EMA weights (config.ema_decay) — the standard
     deployment choice when a run trained with parameter averaging.
@@ -532,11 +535,11 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
     from attentionalpoolingaction_tpu.train import setup_compilation_cache
 
     setup_compilation_cache(cfg)
-    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    mgr, step = ckpt_lib.manager_for_step(cfg.workdir, step)
     restored = ckpt_lib.restore_for_eval(mgr, step=step)
     if restored is None:
         raise FileNotFoundError(
-            f"no checkpoint under {cfg.workdir}/checkpoints")
+            f"no checkpoint under {mgr.directory}")
     if use_ema:
         if restored.ema_params is None:
             raise ValueError(

@@ -32,6 +32,11 @@ flags.DEFINE_integer("eval_every", 0,
                      "run eval on --eval_pattern every N steps (0 = off; "
                      "the reference-style alternative is a separate "
                      "eval_cli --follow job)")
+flags.DEFINE_bool("keep_best", True,
+                  "with --eval_every: keep the argmax-metric checkpoint "
+                  "in <workdir>/checkpoints_best so the run's peak "
+                  "survives max_to_keep pruning (restore it with "
+                  "--step best on eval/serve/predict/export CLIs)")
 flags.DEFINE_multi_string(
     "set", [], "config overrides as field=value (parsed as python literal "
     "when possible), e.g. --set batch_size=64")
@@ -79,6 +84,8 @@ def main(argv):
         # one Evaluator for the whole run: the eval step compiles once and
         # is reused by every in-training evaluation
         evaluator = eval_lib.Evaluator(cfg)
+        best_keeper = (ckpt_lib.BestKeeper(cfg.workdir)
+                       if FLAGS.keep_best else None)
 
         def eval_hook(step, state, metrics):
             del metrics
@@ -86,8 +93,12 @@ def main(argv):
                 results = evaluator(state)
                 metrics_writer.write_eval(writer, step, results)
                 logging.info("eval@%d: %s", step, results)
+                if best_keeper is not None:
+                    best_keeper.update(step, results, state)
 
         hooks.append(eval_hook)
+    else:
+        best_keeper = None
     if FLAGS.attn_summary_every:
         from attentionalpoolingaction_tpu.utils import visualize
 
@@ -103,6 +114,8 @@ def main(argv):
     state, _ = train_lib.train(
         cfg, num_steps=FLAGS.num_steps, checkpoint_manager=mgr, hooks=hooks)
     mgr.wait_until_finished()
+    if best_keeper is not None:
+        best_keeper.wait_until_finished()
     writer.flush()
     logging.info("done at step %d", int(state.step))
 

@@ -27,7 +27,7 @@ flags.DEFINE_multi_string("images", [], "input image paths (jpeg/png)")
 flags.DEFINE_string("out_dir", "/tmp/attnpool_viz", "output directory")
 flags.DEFINE_integer("class_idx", None,
                      "class to visualize (default: predicted argmax)")
-flags.DEFINE_integer("step", None, "checkpoint step (default latest)")
+flags.DEFINE_string("step", None, "checkpoint step: an int, or 'best' for the keep-best slot (default latest)")
 flags.DEFINE_bool("clip", False,
                   "treat --images as the ORDERED frames of one video: "
                   "run the clip-level spatiotemporal forward and write "
@@ -60,8 +60,8 @@ def main(argv):
     overrides["workdir"] = FLAGS.workdir
     cfg = config_lib.get_config(FLAGS.config, **overrides)
 
-    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
-    restored = ckpt_lib.restore_for_eval(mgr, step=FLAGS.step)
+    mgr, step = ckpt_lib.manager_for_step(cfg.workdir, FLAGS.step)
+    restored = ckpt_lib.restore_for_eval(mgr, step=step)
     if restored is None:
         raise SystemExit(f"no checkpoint under {cfg.workdir}/checkpoints")
 
