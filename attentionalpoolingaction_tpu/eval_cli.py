@@ -43,6 +43,13 @@ flags.DEFINE_integer("max_evals", None,
 flags.DEFINE_string("out_json", None,
                     "also append results as JSON lines to this file")
 flags.DEFINE_bool("per_class", False, "include per-class AP in results")
+flags.DEFINE_bool("tb", True,
+                  "write eval/* scalars as TensorBoard event files to the "
+                  "workdir, so eval-over-time curves exist even when eval "
+                  "runs standalone (--follow) with no train process")
+flags.DEFINE_string("per_class_output", None,
+                    "append {step, per_class_ap[, per_class_ap_ko]} JSON "
+                    "lines to this file (HICO/MPII per-class analysis)")
 
 
 def main(argv):
@@ -72,6 +79,17 @@ def main(argv):
 
     from attentionalpoolingaction_tpu.parallel import multihost
 
+    import jax
+
+    # standalone-eval observability (VERDICT r3 next #7): event files from
+    # eval_cli itself, so a --follow job leaves the same eval-over-time TB
+    # curves a train-process eval hook would.  Host 0 only (identical
+    # gathered results everywhere; N writers would duplicate the stream).
+    from attentionalpoolingaction_tpu.utils import metrics_writer
+    writer = (metrics_writer.make_writer(cfg.workdir)
+              if FLAGS.tb and jax.process_index() == 0 else None)
+    want_per_class = FLAGS.per_class or bool(FLAGS.per_class_output)
+
     def eval_step(step):
         restored = ckpt_lib.restore_for_eval(mgr, step=step)
         # Collective agreement: if ANY host failed to restore (e.g. the step
@@ -80,14 +98,27 @@ def main(argv):
         # others block in it and the pod hangs.  Single-process: plain bool.
         if multihost.allreduce_flag(restored is None):
             return None
-        results = evaluator(restored, return_per_class=FLAGS.per_class)
+        results = evaluator(restored, return_per_class=want_per_class)
         results["step"] = int(restored.step)
         logging.info("eval results: %s", results)
         # multi-host: every process holds identical gathered results;
         # only host 0 emits them (a shared out_json would get N copies)
-        import jax
-
         if jax.process_index() == 0:
+            if writer is not None:
+                metrics_writer.write_eval(writer, results["step"], results)
+                writer.flush()
+            if FLAGS.per_class_output:
+                pc = {"step": results["step"]}
+                for k in ("per_class_ap", "per_class_ap_ko"):
+                    if k in results:
+                        pc[k] = results[k]
+                with open(FLAGS.per_class_output, "a") as f:
+                    f.write(json.dumps(pc) + "\n")
+            if not FLAGS.per_class:
+                # vectors were only computed for --per_class_output; keep
+                # the printed/out_json line compact
+                results = {k: v for k, v in results.items()
+                           if not k.startswith("per_class_ap")}
             print(json.dumps(results), flush=True)
             if FLAGS.out_json:
                 with open(FLAGS.out_json, "a") as f:

@@ -541,22 +541,28 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             log.info("resumed grain iterator from %s", iter_path)
 
     if stateful_iter is None:
-        # tf.data path: overlap H2D with compute.  (The Grain path keeps
-        # the raw iterator so its checkpointed state matches the last
-        # consumed batch — Grain's own workers provide the overlap.)
+        # stateless tf.data path: overlap H2D with compute
         if mesh is not None:
             train_iter = pipeline.prefetch_to_device(
                 train_iter, sharding=mesh_lib.batch_sharding(mesh))
         else:
             train_iter = pipeline.prefetch_to_device(train_iter)
-    elif mesh is not None:
-        # Stateful iterators skip prefetch_to_device, so assemble each
-        # host-local batch onto the mesh at consumption time.  This is
-        # REQUIRED multi-process: a raw per-host numpy batch fed to a jit
-        # whose in_shardings span the global mesh would be treated as the
-        # (same) global value on every process — silently halving the
-        # batch and discarding half of each host's pipeline output.
-        train_iter = mesh_lib.shard_batches(train_iter, mesh)
+    else:
+        # Stateful (checkpointable) iterators get the same H2D overlap via
+        # StatefulPrefetchIterator, which snapshots get_state() per pulled
+        # batch so the state saved at a checkpoint matches the last batch
+        # the loop CONSUMED (not the prefetch position) — exact mid-epoch
+        # resume is preserved.  On a mesh it also assembles each host's
+        # batch into a global array; REQUIRED multi-process: a raw
+        # per-host numpy batch fed to a jit whose in_shardings span the
+        # global mesh would be treated as the (same) global value on
+        # every process — silently halving the batch and discarding half
+        # of each host's pipeline output.
+        train_iter = pipeline.StatefulPrefetchIterator(
+            stateful_iter,
+            sharding=(mesh_lib.batch_sharding(mesh)
+                      if mesh is not None else None))
+        stateful_iter = train_iter  # checkpoint the consumed-state view
 
     def save_checkpoint(at_step: int):
         from attentionalpoolingaction_tpu import checkpoint as ckpt

@@ -235,23 +235,28 @@ def main():
     fields["int8_images_per_sec_per_chip"] = _try(
         bench_int8, batch_size=256 if on_tpu else 8)
     # paper-scale (448px HICO 600-class) operating point (VERDICT r2
-    # next #3); train448 uses freeze_bn (the reference fine-tune recipe,
-    # now the presets' default at 448px)
-    # b96 measured best at 448px for both paths (fwd: 2085 vs 1925@b128,
-    # 1781@b192; int8: 2585 vs 2506@b64, 2548@b128 — same
-    # smaller-batch-wins pattern as the train step's B128 optimum)
-    fields["fwd448_images_per_sec_per_chip"] = _try(
+    # next #3).  RECIPE IS PART OF THE FIELD NAME (VERDICT r3 next #6):
+    # the regression check compares by field name, so a recipe change
+    # (batch, freeze_bn, accumulation) must rename the field — it can
+    # never silently reset a baseline under the same name again.
+    # b96 measured best at 448px for both fwd paths (fwd: 2085 vs
+    # 1925@b128, 1781@b192; int8: 2585 vs 2506@b64, 2548@b128)
+    fields["fwd448_b96_images_per_sec_per_chip"] = _try(
         bench_forward, batch_size=96 if on_tpu else 2,
         image_size=448 if on_tpu else 64, num_classes=600, steps=10)
-    # B128 with grad_accum_steps=4 (microbatches of 32 — same activation
-    # memory as plain B32) measured FASTER than B32 in one harness run:
-    # 525 vs 496 img/s (optimizer overhead amortizes over the bigger
-    # step), so the tracked 448px train point is the accumulated recipe
-    fields["train448_images_per_sec_per_chip"] = _try(
+    # the fine-tune RECIPE point: B128 with grad_accum_steps=4
+    # (microbatches of 32 — same activation memory as plain B32) measured
+    # FASTER than B32 in one harness run: 525 vs 496 img/s (optimizer
+    # overhead amortizes over the bigger step)
+    fields["train448_freezebn_accum4_b128_images_per_sec_per_chip"] = _try(
         bench_train, batch_size=128 if on_tpu else 4,
         image_size=448 if on_tpu else 64, dataset="hico", steps=10,
         freeze_bn=True, grad_accum_steps=4 if on_tpu else 2)
-    fields["int8_448_images_per_sec_per_chip"] = _try(
+    # the protocol-faithful point r2 tracked: BN-updating, unaccumulated
+    fields["train448_bnupdate_b32_images_per_sec_per_chip"] = _try(
+        bench_train, batch_size=32 if on_tpu else 4,
+        image_size=448 if on_tpu else 64, dataset="hico", steps=10)
+    fields["int8_448_b96_images_per_sec_per_chip"] = _try(
         bench_int8, batch_size=96 if on_tpu else 2,
         image_size=448 if on_tpu else 64, num_classes=600, steps=10)
     # the fine-tune RECIPE number at 224px (freeze_bn; the BN-updating

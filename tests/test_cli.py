@@ -67,10 +67,14 @@ def test_train_then_eval_cli(tmp_path):
     assert os.path.isdir(workdir + "/checkpoints")
 
     out_json = str(tmp_path / "results.jsonl")
+    per_class_out = str(tmp_path / "per_class.jsonl")
+    import glob
+    events_before = set(glob.glob(workdir + "/events.out.tfevents.*"))
     r = run_cli("attentionalpoolingaction_tpu.eval_cli",
                 "--config", "mpii_rank1_224",
                 "--eval_pattern", train_p, "--workdir", workdir,
-                "--out_json", out_json, "--per_class", *COMMON)
+                "--out_json", out_json, "--per_class",
+                "--per_class_output", per_class_out, *COMMON)
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     results = json.loads(line)
@@ -78,6 +82,16 @@ def test_train_then_eval_cli(tmp_path):
     assert "mAP" in results and len(results["per_class_ap"]) == 393
     with open(out_json) as f:
         assert json.loads(f.readline())["step"] == 2
+    # standalone eval leaves TB eval curves in the workdir (VERDICT r3
+    # next #7) — a new event file whose payload carries the eval/ tags
+    new_events = set(glob.glob(
+        workdir + "/events.out.tfevents.*")) - events_before
+    assert new_events, "eval_cli wrote no TensorBoard event file"
+    payload = b"".join(open(p, "rb").read() for p in sorted(new_events))
+    assert b"eval/mAP" in payload
+    # per-class dump file: JSON lines of {step, per_class_ap}
+    pc = json.loads(open(per_class_out).readline())
+    assert pc["step"] == 2 and len(pc["per_class_ap"]) == 393
 
     # predict_cli on the same checkpoint (thin shell over serving.Predictor)
     import cv2

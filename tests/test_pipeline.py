@@ -111,9 +111,37 @@ def test_video_train_iterator_samples_per_epoch(tmp_path, window):
         assert sorted(b["video_id"].tolist()) == [0, 1, 2, 3]
         for v, f in zip(b["video_id"], b["frame"]):
             seen_frames[int(v)].add(int(f))
-    # stateful draw: across 12 epochs every video shows >1 distinct frame
-    # (P[all 12 draws equal] = 3^-11 per video)
+    # fresh draw each epoch: across 12 epochs every video shows >1
+    # distinct frame (P[all 12 draws equal] = 3^-11 per video)
     assert all(len(s) >= 2 for s in seen_frames.values()), seen_frames
+
+
+def test_video_train_iterator_deterministic_across_runs(tmp_path):
+    """The tf.data video sampler is stateless-keyed on (seed, epoch,
+    video_id): same-seed runs produce IDENTICAL batch streams (frame
+    choices AND visit order) — the Grain path's reproducibility guarantee
+    now holds on tf.data too (VERDICT r3 next #8) — while a different
+    seed diverges."""
+    spec = get_dataset("hmdb51")
+    path = str(tmp_path / "v.tfrecord")
+    rec.write_synthetic_dataset(path, spec, 24, image_size=64,
+                                frames_per_video=3)      # 8 videos
+
+    def stream(seed, n=6):
+        it = pipeline.make_video_train_iterator(
+            path, spec, batch_size=8, image_size=32, resize_min=36,
+            resize_max=40, shard_by_process=False, frames_per_video=3,
+            seed=seed)
+        return [(b["video_id"].tolist(), b["frame"].tolist())
+                for _, b in zip(range(n), it)]
+
+    a, b = stream(7), stream(7)
+    assert a == b                      # reproducible across runs
+    assert stream(8) != a              # and actually seed-dependent
+    # epochs still differ from each other within one run (fresh draws)
+    orders = [tuple(v) for v, _ in a]
+    assert len(set(orders)) > 1 or len(
+        {tuple(f) for _, f in a}) > 1, a
 
 
 def test_train_iterator_uint8_transfer(tmp_path):
