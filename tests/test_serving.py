@@ -425,6 +425,80 @@ def test_predict_clip_int8():
     assert cos > 0.9
 
 
+def test_data_parallel_clip_serving():
+    """predict_clip_bytes composes with data_parallel (VERDICT r3 next
+    #5): the clip forward is its own unsharded jit while the weights live
+    replicated on the serving mesh — committed-argument propagation must
+    compile it, warmup() must pre-build it, and the probabilities must
+    equal the single-device clip prediction (bf16 AND int8)."""
+    cfg = _tiny_cfg(clip_frames=2)
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(5), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    frames = [_jpeg(i) for i in range(5)]
+    for int8 in (False, True):
+        p1 = serving.Predictor(cfg, variables["params"],
+                               variables["batch_stats"], buckets=(8,),
+                               int8=int8)
+        pdp = serving.Predictor(cfg, variables["params"],
+                                variables["batch_stats"], buckets=(8,),
+                                int8=int8, data_parallel=True)
+        assert pdp.mesh is not None
+        # warmup in data_parallel mode also warms the clip shape through
+        # the unsharded clip jit (mesh-replicated weights as its args)
+        assert pdp._clip_fwd._cache_size() == 0
+        pdp.warmup()
+        assert pdp._clip_fwd._cache_size() >= 1, f"int8={int8}"
+        a = pdp.predict_clip_bytes(frames, topk=5)
+        b = p1.predict_clip_bytes(frames, topk=5)
+        assert "error" not in a, a
+        assert [x["class"] for x in a["topk"]] == [
+            x["class"] for x in b["topk"]], f"int8={int8}"
+        np.testing.assert_allclose(
+            [x["prob"] for x in a["topk"]],
+            [x["prob"] for x in b["topk"]], rtol=2e-4, atol=1e-6,
+            err_msg=f"int8={int8}")
+
+
+def test_http_predict_video_data_parallel():
+    """/predict_video end-to-end against a data_parallel predictor: the
+    HTTP route dispatches through the unsharded clip jit while /predict
+    rides the mesh-sharded image path — both must serve from ONE server."""
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    cfg = _tiny_cfg(clip_frames=2)
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    variables = model.init(jax.random.key(6), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    pdp = serving.Predictor(cfg, variables["params"],
+                            variables["batch_stats"], buckets=(8,),
+                            data_parallel=True)
+    assert pdp.mesh is not None
+    server = make_server(pdp, "127.0.0.1", 0, topk=2, max_batch=4,
+                         max_wait_ms=2.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        payload = json.dumps({"frames": [
+            base64.b64encode(_jpeg(i)).decode() for i in range(4)]})
+        conn.request("POST", "/predict_video", body=payload)
+        out = json.loads(conn.getresponse().read())
+        assert "error" not in out, out
+        assert len(out["topk"]) == 2 and out["clip_frames"] == 2
+        conn.request("POST", "/predict", body=_jpeg(1),
+                     headers={"Content-Type": "image/jpeg"})
+        assert len(json.loads(conn.getresponse().read())["topk"]) == 2
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
+
+
 def test_http_predict_video(predictor):
     import base64
 
