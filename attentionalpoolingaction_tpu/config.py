@@ -72,6 +72,14 @@ class TrainConfig:
     # match the last CONSUMED batch, so batches can't be queued on device);
     # grain checkpoints its iterator natively without this tradeoff.
     tfdata_checkpoint: bool = False
+    # batch-level data echoing (Choi et al. 2019): each pipeline batch
+    # feeds this many consecutive optimizer steps, reusing the same
+    # ON-DEVICE batch (zero extra host work / H2D).  The classic lever
+    # when the input pipeline or host link, not the chip, bounds step
+    # rate.  >1 changes training semantics (repeated batches) — opt-in.
+    # Composes with exact resume: the echo phase is checkpointed and a
+    # mid-echo restore re-pulls the in-flight batch deterministically.
+    data_echo: int = 1
     # video datasets (HMDB51): per-epoch random-frame sampling at the
     # video level (each epoch = one fresh frame per video — the
     # reference-era protocol).  Both pipelines implement it (grain via

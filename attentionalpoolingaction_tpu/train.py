@@ -522,24 +522,6 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
     elif hasattr(train_iter, "get_state"):
         stateful_iter = train_iter
 
-    if stateful_iter is not None and checkpoint_manager is not None and (
-            checkpoint_manager.latest_step() is not None):
-        # resume the data stream exactly where it left off (Grain records
-        # its own position — SURVEY.md section 5 checkpoint/resume row).
-        # State is per-process: each host has its own iterator over its
-        # input shard, so each saves/restores its own file.
-        iter_path = _grain_state_path(
-            checkpoint_manager, checkpoint_manager.latest_step(),
-            jax.process_index())
-        if not iter_path.exists() and jax.process_count() == 1:
-            # legacy single-process layout (round-1 checkpoints)
-            iter_path = _grain_state_path(
-                checkpoint_manager, checkpoint_manager.latest_step(), None)
-        if iter_path.exists():
-            import json
-            stateful_iter.set_state(json.loads(iter_path.read_text()))
-            log.info("resumed grain iterator from %s", iter_path)
-
     if stateful_iter is None:
         # stateless tf.data path: overlap H2D with compute
         if mesh is not None:
@@ -563,6 +545,34 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
             sharding=(mesh_lib.batch_sharding(mesh)
                       if mesh is not None else None))
         stateful_iter = train_iter  # checkpoint the consumed-state view
+
+    if cfg.data_echo > 1:
+        # batch-level data echoing: sits ABOVE the device-prefetch layer
+        # so each echoed step reuses the same on-device batch (the train
+        # step donates only its state, never the batch)
+        train_iter = pipeline.EchoIterator(train_iter, cfg.data_echo)
+        if stateful_iter is not None:
+            stateful_iter = train_iter   # echo phase checkpoints too
+
+    if stateful_iter is not None and checkpoint_manager is not None and (
+            checkpoint_manager.latest_step() is not None):
+        # resume the data stream exactly where it left off (Grain records
+        # its own position — SURVEY.md section 5 checkpoint/resume row).
+        # State is per-process: each host has its own iterator over its
+        # input shard, so each saves/restores its own file.  Restores into
+        # the OUTERMOST wrapper so prefetch/echo layers reset coherently.
+        iter_path = _grain_state_path(
+            checkpoint_manager, checkpoint_manager.latest_step(),
+            jax.process_index())
+        if not iter_path.exists() and jax.process_count() == 1:
+            # legacy single-process layout (round-1 checkpoints)
+            iter_path = _grain_state_path(
+                checkpoint_manager, checkpoint_manager.latest_step(), None)
+        if iter_path.exists():
+            import json
+            stateful_iter.set_state(_normalize_iter_state(
+                json.loads(iter_path.read_text()), cfg.data_echo))
+            log.info("resumed data iterator from %s", iter_path)
 
     def save_checkpoint(at_step: int):
         from attentionalpoolingaction_tpu import checkpoint as ckpt
@@ -637,6 +647,30 @@ def train(cfg: config_lib.TrainConfig, *, train_iter=None, num_steps=None,
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
     return state, history
+
+
+def _normalize_iter_state(state, data_echo: int):
+    """Reconcile a checkpointed iterator state with the CURRENT data_echo
+    setting (the toggle may change across a restart, like ema_decay).
+
+    Echo-wrapped states are ``{"inner_before": ..., "phase": ...}``;
+    plain states are the inner pipeline's own dict.  echo->echo and
+    plain->plain pass through; plain->echo starts at phase 0;
+    echo->plain resumes from the inner position, dropping any remaining
+    repeats of a mid-echo in-flight batch (logged — that is the only
+    information a data_echo toggle can lose)."""
+    is_echo = (isinstance(state, dict)
+               and set(state) == {"inner_before", "phase"})
+    if data_echo > 1:
+        return state if is_echo else {"inner_before": state, "phase": 0}
+    if is_echo:
+        if state["phase"]:
+            log.warning(
+                "resuming with data_echo=1 from a mid-echo checkpoint: "
+                "the in-flight batch's remaining %d echoes are dropped",
+                state["phase"])
+        return state["inner_before"]
+    return state
 
 
 def _grain_state_path(manager, step: int, process_index: int | None):

@@ -360,3 +360,57 @@ def test_stateful_prefetch_set_state_discards_inflight():
     next(it), next(it)                        # consumed 0, 1; prefetch ahead
     it.set_state({"pos": 6})
     assert [int(b["x"][0]) for b in it] == [6, 7]
+
+
+def test_echo_iterator_repeats_and_checkpoints():
+    """EchoIterator yields each inner batch E times; its state pairs the
+    inner position with the echo phase so a mid-echo restore replays the
+    in-flight batch's REMAINING echoes exactly."""
+    from attentionalpoolingaction_tpu.data.pipeline import EchoIterator
+
+    it = EchoIterator(_FakeStatefulIterator(n=4), echo=3)
+    vals = [int(next(it)["x"][0]) for _ in range(7)]
+    assert vals == [0, 0, 0, 1, 1, 1, 2]       # 2 echoes of batch 2 left
+
+    state = it.get_state()
+    assert state["phase"] == 1                  # batch 2 echoed once
+    it2 = EchoIterator(_FakeStatefulIterator(n=4), echo=3)
+    it2.set_state(state)
+    rest = [int(b["x"][0]) for b in it2]
+    assert rest == [2, 2, 3, 3, 3]              # remaining echoes + batch 3
+
+    # cycle boundary: phase-0 state must NOT replay the consumed batch
+    it3 = EchoIterator(_FakeStatefulIterator(n=4), echo=3)
+    for _ in range(3):
+        next(it3)                               # batch 0 fully consumed
+    s3 = it3.get_state()
+    assert s3 == {"inner_before": {"pos": 1}, "phase": 0}
+    it4 = EchoIterator(_FakeStatefulIterator(n=4), echo=3)
+    it4.set_state(s3)
+    assert int(next(it4)["x"][0]) == 1
+
+    # echoed repeats are the SAME object (device batch reuse, no extra H2D)
+    it5 = EchoIterator(_FakeStatefulIterator(n=2), echo=2)
+    a, b = next(it5), next(it5)
+    assert a is b
+
+    # stateless inner: echoing works, checkpointing is refused loudly
+    it6 = EchoIterator(iter([{"x": np.zeros(1)}] * 2), echo=2)
+    next(it6)
+    import pytest
+    with pytest.raises(AttributeError):
+        it6.get_state()
+    with pytest.raises(ValueError):
+        EchoIterator(iter([]), echo=0)
+
+
+def test_normalize_iter_state_echo_toggles():
+    from attentionalpoolingaction_tpu.train import _normalize_iter_state
+
+    plain = {"pos": 7}
+    wrapped = {"inner_before": {"pos": 7}, "phase": 2}
+    assert _normalize_iter_state(plain, 1) == plain
+    assert _normalize_iter_state(plain, 3) == {
+        "inner_before": plain, "phase": 0}
+    assert _normalize_iter_state(wrapped, 3) == wrapped
+    assert _normalize_iter_state(wrapped, 1) == plain      # drops echoes

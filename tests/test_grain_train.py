@@ -64,3 +64,56 @@ def test_tfdata_checkpoint_train_and_resume(tmp_path):
     mgr.wait_until_finished()
     assert int(state2.step) == 4
     assert train_lib._grain_state_path(mgr, 4, 0).exists()
+
+
+def test_data_echo_mid_echo_resume_matches_uninterrupted(tmp_path):
+    """data_echo=2 with a checkpoint landing MID-echo (step 3 = phase 1):
+    resume must replay the in-flight batch's remaining echo, so the
+    resumed run's final params equal an uninterrupted run's exactly."""
+    import jax
+
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(path, spec, 12, image_size=80)
+
+    cfg = grain_cfg(path, data_echo=2, checkpoint_every=3)
+
+    mgr_a = ckpt_lib.make_manager(tmp_path / "a")
+    state_a, _ = train_lib.train(cfg, num_steps=6, checkpoint_manager=mgr_a)
+    mgr_a.wait_until_finished()
+
+    mgr_b = ckpt_lib.make_manager(tmp_path / "b")
+    train_lib.train(cfg, num_steps=3, checkpoint_manager=mgr_b)
+    mgr_b.wait_until_finished()
+    # the saved iterator state carries a mid-echo phase
+    import json
+    saved = json.loads(train_lib._grain_state_path(
+        mgr_b, 3, 0).read_text())
+    assert set(saved) == {"inner_before", "phase"} and saved["phase"] == 1
+    state_b, _ = train_lib.train(cfg, num_steps=6, checkpoint_manager=mgr_b)
+    mgr_b.wait_until_finished()
+
+    assert int(state_a.step) == int(state_b.step) == 6
+    worst = max(float(np.abs(np.asarray(x) - np.asarray(y)).max())
+                for x, y in zip(jax.tree.leaves(state_a.params),
+                                jax.tree.leaves(state_b.params)))
+    assert worst == 0.0, worst
+
+
+def test_data_echo_toggle_across_resume(tmp_path):
+    """Turning data_echo OFF at a mid-echo checkpoint resumes from the
+    inner stream position (remaining echoes dropped, logged) instead of
+    crashing on the wrapped state format."""
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(path, spec, 12, image_size=80)
+
+    mgr = ckpt_lib.make_manager(tmp_path / "ck")
+    train_lib.train(grain_cfg(path, data_echo=2, checkpoint_every=3),
+                    num_steps=3, checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    state, hist = train_lib.train(grain_cfg(path, checkpoint_every=3),
+                                  num_steps=5, checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+    assert int(state.step) == 5
+    assert np.isfinite(hist[-1]["loss/total"])
