@@ -462,6 +462,10 @@ class EchoIterator:
 
     def set_state(self, state):
         self._it.set_state(state["inner_before"])
+        # keep the pre-batch snapshot: a checkpoint taken mid-echo AFTER
+        # this restore (before the next batch boundary) must re-save the
+        # same inner_before, not the construction-time state
+        self._inner_before = state["inner_before"]
         self._phase = int(state["phase"])
         # phase > 0: an echoed batch was in flight — re-pull it from the
         # restored position (deterministic pipeline => identical batch)

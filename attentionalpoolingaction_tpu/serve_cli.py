@@ -63,6 +63,14 @@ flags.DEFINE_integer(
     "max_queue", 256,
     "admission control: max queued requests before new ones get a fast "
     "429 + Retry-After instead of waiting out the 60s future timeout")
+flags.DEFINE_bool(
+    "follow", False,
+    "continuous deployment: poll the checkpoint dir and hot-swap newer "
+    "steps into the live server (no recompile, no downtime).  Composes "
+    "with --step best to always serve the best-metric slot a "
+    "train_cli --eval_every job maintains")
+flags.DEFINE_float("poll_seconds", 10.0,
+                   "--follow checkpoint poll period")
 flags.DEFINE_multi_string("set", [], "config overrides field=value")
 
 
@@ -71,8 +79,12 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 max_queue: int | None = 256) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server — separated for tests."""
     stats = predictor.stats
+    # the batcher coalesces PREPROCESSED arrays: cv2 decode/resize runs in
+    # the concurrent HTTP handler threads (and bad images 400 before ever
+    # occupying queue capacity), so the single worker thread's critical
+    # path is device dispatch alone, not decode+dispatch
     batcher = serving.DynamicBatcher(
-        lambda blobs: predictor.predict_bytes(blobs, topk=topk),
+        lambda imgs: predictor.predict_preprocessed(imgs, topk=topk),
         max_batch=max_batch, max_wait_ms=max_wait_ms, max_queue=max_queue,
         stats=stats)
     # conservative drain estimate for Retry-After: one coalesced batch per
@@ -134,15 +146,20 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 if self.path == "/predict":
-                    res = batcher.submit(body).result(timeout=60)
+                    # decode HERE (handler thread): parallel across
+                    # requests, and a bad image fails fast without
+                    # touching the batcher queue or the device
+                    try:
+                        img = predictor.preprocess(body)
+                    except Exception as exc:
+                        observe_once()
+                        stats.inc("serving_request_errors_total")
+                        self._json(400, {"error": f"bad image: {exc}"})
+                        return
+                    res = batcher.submit(img).result(timeout=60)
                     observe_once()
-                    # per-item decode failures come back as {"error": ...}
-                    # (Predictor.predict_bytes) -> client error for THIS
-                    # request only; concurrent batch-mates are unaffected
-                    ok = "error" not in res
-                    stats.inc("serving_requests_total" if ok
-                              else "serving_request_errors_total")
-                    self._json(200 if ok else 400, res)
+                    stats.inc("serving_requests_total")
+                    self._json(200, res)
                 elif self.path == "/predict_video":
                     # one VIDEO (ordered frames) -> one clip-pooled
                     # prediction; dispatched directly (a video is already
@@ -169,8 +186,20 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                         stats.inc("serving_request_errors_total")
                         self._json(400, {"error": f"bad request: {exc}"})
                         return
-                    futs = [batcher.submit(b) for b in blobs]
-                    results = [f.result(timeout=60) for f in futs]
+                    # per-item decode: a corrupt image errors only its
+                    # own slot (never enqueued); the rest batch normally
+                    results: list = [None] * len(blobs)
+                    futs = []
+                    for i, b in enumerate(blobs):
+                        try:
+                            futs.append((i, batcher.submit(
+                                predictor.preprocess(b))))
+                        except serving.Overloaded:
+                            raise
+                        except Exception as exc:
+                            results[i] = {"error": f"bad image: {exc}"}
+                    for i, f in futs:
+                        results[i] = f.result(timeout=60)
                     observe_once()
                     for r in results:
                         stats.inc("serving_requests_total"
@@ -218,6 +247,15 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
 
 def main(argv):
     del argv
+    if FLAGS.follow:
+        if FLAGS.exported_dir:
+            raise app.UsageError(
+                "--follow tracks a checkpoint dir; an exported artifact "
+                "is immutable — serve it without --follow")
+        if FLAGS.step is not None and FLAGS.step.strip().lower() != "best":
+            raise app.UsageError(
+                "--follow with a pinned numeric --step cannot advance; "
+                "drop --step (follow latest) or use --step best")
     if FLAGS.exported_dir:
         from attentionalpoolingaction_tpu import export as export_lib
 
@@ -241,6 +279,17 @@ def main(argv):
         raise app.UsageError("one of --workdir / --exported_dir required")
     logging.info("compiling %s buckets...", predictor.buckets)
     predictor.warmup()
+    follower = None
+    if FLAGS.follow:
+        from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+        mgr, _ = ckpt_lib.manager_for_step(cfg.workdir, FLAGS.step)
+        follower = serving.CheckpointFollower(
+            predictor, mgr, use_ema=FLAGS.ema,
+            poll_seconds=FLAGS.poll_seconds)
+        follower.start()
+        logging.info("following %s every %.1fs", mgr.directory,
+                     FLAGS.poll_seconds)
     server = make_server(predictor, FLAGS.host, FLAGS.port, FLAGS.topk,
                          FLAGS.max_batch, FLAGS.max_wait_ms,
                          max_queue=FLAGS.max_queue)
@@ -263,6 +312,8 @@ def main(argv):
     except KeyboardInterrupt:
         pass
     finally:
+        if follower is not None:
+            follower.stop()
         server.batcher.stop()
         server.server_close()
 

@@ -21,6 +21,7 @@ transform (data/preprocessing_np.py), so serving needs no TensorFlow.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import time
@@ -36,6 +37,8 @@ from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
 from attentionalpoolingaction_tpu.data.datasets import get_dataset
 from attentionalpoolingaction_tpu.models import inference as inf
 from attentionalpoolingaction_tpu.train import build_model, normalize_images
+
+log = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
@@ -310,12 +313,30 @@ class BucketedPredictor:
                 "clip_frames": int(t),
                 "frames_received": len(frame_blobs)}
 
+    def predict_preprocessed(self, images: Sequence[np.ndarray],
+                             topk: int = 5):
+        """Already-preprocessed images -> per-item {"topk": [...]}.
+
+        The device half of predict_bytes.  The HTTP server decodes in
+        its (concurrent) handler threads and coalesces ARRAYS through the
+        DynamicBatcher, so cv2 decode/resize runs in parallel across
+        requests instead of serializing with device dispatch inside the
+        single batcher worker — and a corrupt image is rejected before it
+        ever occupies queue capacity."""
+        probs = self.predict_arrays(np.stack(images))
+        out = []
+        for p in probs:
+            top = np.argsort(-p)[:topk]
+            out.append({"topk": [{"class": int(c), "prob": float(p[c])}
+                                 for c in top]})
+        return out
+
     def predict_bytes(self, blobs: Sequence[bytes], topk: int = 5):
         """JPEG/PNG bytes -> per-item {"topk": [...]} or {"error": ...}.
 
         Each blob decodes independently, so one corrupt image in a
-        coalesced batch (DynamicBatcher) yields an error for THAT item
-        only — it must not poison concurrent requests' results."""
+        batch yields an error for THAT item only — it must not poison
+        the other items' results."""
         images, slots = [], []
         results: list = [None] * len(blobs)
         for i, b in enumerate(blobs):
@@ -325,12 +346,8 @@ class BucketedPredictor:
             except Exception as exc:  # undecodable/invalid image bytes
                 results[i] = {"error": f"bad image: {exc}"}
         if images:
-            probs = self.predict_arrays(np.stack(images))
-            for i, p in zip(slots, probs):
-                top = np.argsort(-p)[:topk]
-                results[i] = {"topk": [{"class": int(c),
-                                        "prob": float(p[c])}
-                                       for c in top]}
+            for i, r in zip(slots, self.predict_preprocessed(images, topk)):
+                results[i] = r
         return results
 
 
@@ -353,59 +370,94 @@ class Predictor(BucketedPredictor):
         self.spec = get_dataset(cfg.dataset)
         self.int8 = int8
         self.stats = stats or ServingStats()
-        self.buckets, img_sh, repl_sh = self._init_data_parallel(
+        self.buckets, img_sh, self._repl_sh = self._init_data_parallel(
             data_parallel, buckets)
+        self._calib = (np.asarray(calibration_images, np.float32)
+                       if calibration_images is not None else None)
         # weights are passed as jit ARGUMENTS (not closed over): a closure
         # would re-stage the full ~170MB param tree as constants into each
         # bucket's executable (4 buckets => 4 embedded copies + slow
         # compiles); as device-array args they are shared across buckets
+        # AND hot-swappable (reload()) without recompiling — which is also
+        # why int8 act_scales live INSIDE the weights tuple, not a closure
         if int8:
-            variables = {"params": params, "batch_stats": batch_stats}
-            folded = inf.fold_backbone(variables, cfg.backbone)
-            head = params["head"]
-            act_scales = None
-            if calibration_images is not None:
-                act_scales = inf.calibrate_act_scales(
-                    folded, head, [np.asarray(calibration_images,
-                                              np.float32)],
-                    backbone=cfg.backbone,
-                    pooling="avg" if cfg.pooling == "avg" else "attention")
-            self._weights = (inf.quantize_folded(folded), head)
-
             def fwd(weights, images):
-                q, head = weights
+                q, head, act_scales = weights
                 return inf.folded_forward(
                     q, head, normalize_images(images),
                     backbone=cfg.backbone,
                     pooling="avg" if cfg.pooling == "avg" else "attention",
                     act_scales=act_scales, dtype=jnp.bfloat16)["logits"]
-
-            # folded_forward handles 5-D clips (frames fold into the conv
-            # batch), so int8 video serving matches the bf16 protocol
-            self.supports_clips = True
-            self._clip_fwd = jax.jit(fwd)
         else:
             model = build_model(cfg)
-            self._weights = {"params": params, "batch_stats": batch_stats}
 
             def fwd(weights, images):
                 return model.apply(weights, normalize_images(images),
                                    train=False)["logits"]
 
-            # video requests (predict_clip_bytes): the same forward on a
-            # (1, T, H, W, 3) clip — its own jit so the clip shape never
-            # collides with the data-parallel image shardings (a 1-video
-            # batch can't shard over the data axis anyway)
-            self.supports_clips = True
-            self._clip_fwd = jax.jit(fwd)
+        # folded_forward handles 5-D clips (frames fold into the conv
+        # batch) and so does model.apply, so video requests
+        # (predict_clip_bytes) run the same forward on a (1, T, H, W, 3)
+        # clip — its own jit so the clip shape never collides with the
+        # data-parallel image shardings (a 1-video batch can't shard over
+        # the data axis anyway)
+        self.supports_clips = True
+        self._clip_fwd = jax.jit(fwd)
+        self._weights = self._make_weights(params, batch_stats)
 
         if self.mesh is not None:
-            repl = jax.tree.map(lambda _: repl_sh, self._weights)
-            self._weights = jax.device_put(self._weights, repl)
+            repl = jax.tree.map(lambda _: self._repl_sh, self._weights)
             self._fwd = jax.jit(fwd, in_shardings=(repl, img_sh),
                                 out_shardings=img_sh)
         else:
             self._fwd = jax.jit(fwd)
+
+    def _make_weights(self, params, batch_stats):
+        """Servable weights from a restored (params, batch_stats) pair:
+        the raw variables dict (bf16 path) or the folded+quantized tuple
+        (q, head, act_scales) (int8 path — recalibrated against the
+        retained calibration images, or None for dynamic scales).  Same
+        pytree STRUCTURE for every checkpoint of one config, which is
+        what makes reload() recompile-free."""
+        if self.int8:
+            variables = {"params": params, "batch_stats": batch_stats}
+            folded = inf.fold_backbone(variables, self.cfg.backbone)
+            head = params["head"]
+            act_scales = None
+            if self._calib is not None:
+                act_scales = inf.calibrate_act_scales(
+                    folded, head, [self._calib],
+                    backbone=self.cfg.backbone,
+                    pooling=("avg" if self.cfg.pooling == "avg"
+                             else "attention"))
+                # 0-d arrays, not python floats: these are jit-argument
+                # leaves now (export flattens them too, and a leaf needs
+                # .dtype); numerically identical to the old closed-over
+                # constants
+                act_scales = {k: np.float32(v)
+                              for k, v in act_scales.items()}
+            weights = (inf.quantize_folded(folded), head, act_scales)
+        else:
+            weights = {"params": params, "batch_stats": batch_stats}
+        if self.mesh is not None:
+            repl = jax.tree.map(lambda _: self._repl_sh, weights)
+            weights = jax.device_put(weights, repl)
+        return weights
+
+    def reload(self, params, batch_stats, *, step=None):
+        """Hot-swap the served weights in place — zero recompile, zero
+        downtime.  Weights are jit arguments with a checkpoint-invariant
+        pytree structure (:meth:`_make_weights`), so every compiled
+        (bucket, dtype) executable keeps serving; in-flight dispatches
+        hold the old reference and finish on the old weights, requests
+        after the (atomic) swap see the new ones.  The int8 path refolds,
+        recalibrates (same retained calibration images), and requantizes
+        the new checkpoint."""
+        self._weights = self._make_weights(params, batch_stats)
+        self.stats.inc("serving_reloads_total")
+        if step is not None:
+            self.step = int(step)
+            self.stats.set_gauge("serving_checkpoint_step", int(step))
 
 
 class DynamicBatcher:
@@ -511,6 +563,75 @@ class DynamicBatcher:
                         fut.set_exception(exc)
 
 
+def deploy_params(restored, use_ema: bool):
+    """The (params, batch_stats) a deployment serves from a restored
+    TrainState: the EMA shadow when requested (the standard choice for
+    runs trained with parameter averaging), else the raw params.  Shared
+    by load_predictor and CheckpointFollower so a --follow reload applies
+    the same transform as the initial load."""
+    if use_ema:
+        if restored.ema_params is None:
+            raise ValueError(
+                "use_ema=True but the checkpoint has no ema_params — "
+                "train with --set ema_decay=0.9999 (or similar) first")
+        return restored.ema_params, restored.batch_stats
+    return restored.params, restored.batch_stats
+
+
+class CheckpointFollower(threading.Thread):
+    """Continuous deployment: poll a CheckpointManager for new steps and
+    hot-swap them into a live Predictor (:meth:`Predictor.reload` — no
+    recompile, no downtime).  Point it at the rolling ``checkpoints/``
+    manager to track training live, or at the ``checkpoints_best`` slot
+    (``manager_for_step(workdir, "best")``) to always serve the
+    best-metric checkpoint a train_cli --eval_every job maintains.
+
+    A failed poll (checkpoint mid-write GC'd, transient IO) logs and
+    retries next period — the predictor keeps serving the old weights;
+    serving never goes down because training misbehaved."""
+
+    def __init__(self, predictor: "Predictor", manager, *,
+                 use_ema: bool = False, poll_seconds: float = 10.0):
+        super().__init__(daemon=True, name="ckpt-follower")
+        self._predictor = predictor
+        self._mgr = manager
+        self._use_ema = use_ema
+        self._poll = poll_seconds
+        self._stopev = threading.Event()
+
+    def poll_once(self) -> bool:
+        """One poll: reload + swap if a step newer than the served one is
+        committed.  Returns whether a swap happened."""
+        from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+
+        if hasattr(self._mgr, "reload"):
+            self._mgr.reload()       # drop orbax's cached step listing
+        latest = self._mgr.latest_step()
+        served = getattr(self._predictor, "step", None)
+        if latest is None or (served is not None and latest <= served):
+            return False
+        restored = ckpt_lib.restore_for_eval(self._mgr, step=latest)
+        if restored is None:
+            return False
+        params, batch_stats = deploy_params(restored, self._use_ema)
+        self._predictor.reload(params, batch_stats, step=latest)
+        log.info("hot-reloaded checkpoint step %d", latest)
+        return True
+
+    def run(self):
+        while not self._stopev.wait(self._poll):
+            try:
+                self.poll_once()
+            except Exception:
+                log.exception("checkpoint follow poll failed; serving "
+                              "continues on the current weights")
+
+    def stop(self):
+        self._stopev.set()
+        if self.is_alive():
+            self.join(timeout=5)
+
+
 def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
                    int8: bool = False,
                    buckets: Sequence[int] = DEFAULT_BUCKETS,
@@ -540,12 +661,7 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
     if restored is None:
         raise FileNotFoundError(
             f"no checkpoint under {mgr.directory}")
-    if use_ema:
-        if restored.ema_params is None:
-            raise ValueError(
-                "use_ema=True but the checkpoint has no ema_params — "
-                "train with --set ema_decay=0.9999 (or similar) first")
-        restored = restored.replace(params=restored.ema_params)
+    params, batch_stats = deploy_params(restored, use_ema)
     calib = None
     if int8 and calibration_files:
         imgs = []
@@ -556,6 +672,12 @@ def load_predictor(cfg: config_lib.TrainConfig, *, step=None,
                     resize_min=cfg.resize_min_resolved)
             imgs.append(img)
         calib = np.stack(imgs)
-    return Predictor(cfg, restored.params, restored.batch_stats, int8=int8,
-                     buckets=buckets, calibration_images=calib,
-                     data_parallel=data_parallel)
+    predictor = Predictor(cfg, params, batch_stats, int8=int8,
+                          buckets=buckets, calibration_images=calib,
+                          data_parallel=data_parallel)
+    # served-step bookkeeping: CheckpointFollower compares against this
+    # to decide when a newer committed step warrants a hot reload
+    predictor.step = int(restored.step)
+    predictor.stats.set_gauge("serving_checkpoint_step",
+                              int(restored.step))
+    return predictor

@@ -194,8 +194,21 @@ def main():
         # round, not just the 224px forward — a train/int8/448px drop
         # must be as loud as a forward drop
         regressed = []
+        # pre-r4 names for UNCHANGED recipes (pure renames, so the check
+        # still bites across the rename round); recipe CHANGES must use a
+        # fresh name with no alias — that's the whole point of the scheme
+        legacy = {
+            "fwd448_b96_images_per_sec_per_chip":
+                "fwd448_images_per_sec_per_chip",
+            "int8_448_b96_images_per_sec_per_chip":
+                "int8_448_images_per_sec_per_chip",
+            "train448_freezebn_accum4_b128_images_per_sec_per_chip":
+                "train448_images_per_sec_per_chip",
+        }
         for k, cur in fields.items():
             prev = last.get(k)
+            if prev is None and k in legacy:
+                prev = last.get(legacy[k])
             if (isinstance(cur, (int, float)) and
                     not isinstance(cur, bool) and
                     isinstance(prev, (int, float)) and

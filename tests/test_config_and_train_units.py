@@ -404,6 +404,33 @@ def test_echo_iterator_repeats_and_checkpoints():
         EchoIterator(iter([]), echo=0)
 
 
+def test_echo_iterator_checkpoint_right_after_mid_echo_restore():
+    """A checkpoint taken mid-echo AFTER a mid-echo restore (no batch
+    boundary crossed in between) must re-save the restored inner_before,
+    not the construction-time inner state — the checkpoint-every-step
+    preemption corner."""
+    from attentionalpoolingaction_tpu.data.pipeline import EchoIterator
+
+    it = EchoIterator(_FakeStatefulIterator(n=6), echo=3)
+    for _ in range(4):
+        next(it)                                # batch 1 echoed once
+    saved = it.get_state()
+    assert saved["phase"] == 1
+
+    it2 = EchoIterator(_FakeStatefulIterator(n=6), echo=3)
+    it2.set_state(saved)
+    next(it2)                                   # phase 1 -> 2, same batch
+    resaved = it2.get_state()
+    assert resaved["inner_before"] == saved["inner_before"]
+    assert resaved["phase"] == 2
+
+    it3 = EchoIterator(_FakeStatefulIterator(n=6), echo=3)
+    it3.set_state(resaved)
+    # one echo of batch 1 left, then batch 2 starts
+    vals = [int(next(it3)["x"][0]) for _ in range(2)]
+    assert vals == [1, 2]
+
+
 def test_normalize_iter_state_echo_toggles():
     from attentionalpoolingaction_tpu.train import _normalize_iter_state
 

@@ -265,3 +265,51 @@ def test_clip_artifact_roundtrip(tmp_path):
     # image artifacts (clip_frames=1, default include_clip=False) still
     # reject video requests — covered by
     # test_exported_predictor_rejects_clips
+
+
+def test_int8_static_calibration_artifact_roundtrip(tmp_path):
+    """Static activation scales are weight LEAVES (0-d float32) since the
+    hot-reload refactor — they must ship through the npz and reproduce
+    the live statically-calibrated predictor exactly."""
+    cfg = _tiny_cfg()
+    v = _variables(cfg)
+    rng = np.random.default_rng(7)
+    calib = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 30
+    live = serving.Predictor(cfg, v["params"], v["batch_stats"],
+                             int8=True, buckets=(2,),
+                             calibration_images=calib)
+    assert live._weights[2], "static scales expected"
+    out = str(tmp_path / "int8_static_artifact")
+    manifest = export_lib.export_predictor(live, out,
+                                           input_dtypes=(np.uint8,))
+    # the scale leaves are scalar float32 entries in the manifest
+    assert any(leaf["dtype"] == "float32" and leaf["shape"] == []
+               for leaf in manifest["leaves"])
+    loaded = export_lib.load_exported(out)
+    u8 = rng.integers(0, 255, (3, 64, 64, 3), np.uint8)
+    np.testing.assert_array_equal(loaded.predict_arrays(u8),
+                                  live.predict_arrays(u8))
+
+
+def test_serve_cli_follow_flag_validation(tmp_path):
+    """--follow composes with --step best (track the keep-best slot) but
+    is a UsageError with an immutable artifact or a pinned numeric step."""
+    from absl import app as absl_app
+
+    from absl.testing import flagsaver
+
+    from attentionalpoolingaction_tpu import serve_cli
+
+    serve_cli.FLAGS.mark_as_parsed()
+    empty = str(tmp_path / "empty_workdir")
+    with flagsaver.flagsaver(follow=True, exported_dir=empty):
+        with pytest.raises(absl_app.UsageError, match="immutable"):
+            serve_cli.main([])
+    with flagsaver.flagsaver(follow=True, workdir=empty, step="7"):
+        with pytest.raises(absl_app.UsageError, match="pinned"):
+            serve_cli.main([])
+    # --follow --step best passes validation (fails later on the missing
+    # checkpoint, not on flag combination)
+    with flagsaver.flagsaver(follow=True, workdir=empty, step="best"):
+        with pytest.raises(FileNotFoundError):
+            serve_cli.main([])

@@ -581,9 +581,12 @@ def test_http_overload_returns_429_with_retry_after():
         buckets = (1,)
         mesh = None
 
-        def predict_bytes(self, blobs, topk=5):
+        def preprocess(self, image_bytes):
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def predict_preprocessed(self, images, topk=5):
             release.wait(timeout=10)
-            return [{"topk": []} for _ in blobs]
+            return [{"topk": []} for _ in images]
 
     server = make_server(SlowPredictor(), "127.0.0.1", 0, topk=1,
                          max_batch=1, max_wait_ms=1.0, max_queue=1)
@@ -659,3 +662,106 @@ def test_data_parallel_clip_prediction():
             [e["prob"] for e in a["topk"]],
             [e["prob"] for e in b["topk"]], rtol=2e-4, atol=1e-6,
             err_msg=f"int8={int8}")
+
+
+def test_reload_hot_swaps_weights_without_recompile():
+    """Predictor.reload: new checkpoint weights serve through the SAME
+    compiled executables (weights are jit args with checkpoint-invariant
+    structure) and predictions match a fresh predictor built on the new
+    weights — bf16 and int8 (act_scales live in the weights tuple, so
+    the int8 path re-quantizes without re-jitting)."""
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    va = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    vb = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3), np.uint8)
+    for int8 in (False, True):
+        p = serving.Predictor(cfg, va["params"], va["batch_stats"],
+                              buckets=(2,), int8=int8)
+        before = p.predict_arrays(imgs)
+        n0 = p._fwd._cache_size()
+        p.reload(vb["params"], vb["batch_stats"], step=7)
+        out = p.predict_arrays(imgs)
+        assert p._fwd._cache_size() == n0, f"recompiled (int8={int8})"
+        assert p.step == 7
+        fresh = serving.Predictor(cfg, vb["params"], vb["batch_stats"],
+                                  buckets=(2,), int8=int8)
+        np.testing.assert_array_equal(out, fresh.predict_arrays(imgs),
+                                      err_msg=f"int8={int8}")
+        assert not np.allclose(before, out)   # weights really changed
+        snap = p.stats.snapshot()
+        assert snap["serving_reloads_total"] == 1
+        assert p.stats.gauges()["serving_checkpoint_step"] == 7
+
+
+def test_reload_int8_static_calibration_requantizes():
+    """With static calibration the scales are weight leaves (np.float32),
+    recomputed per reload; reloaded predictions must equal a fresh
+    predictor calibrated on the same images."""
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    va = model.init(jax.random.key(2), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    vb = model.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    rng = np.random.default_rng(1)
+    calib = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 30
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    p = serving.Predictor(cfg, va["params"], va["batch_stats"],
+                          buckets=(2,), int8=True,
+                          calibration_images=calib)
+    _, _, scales_a = p._weights
+    assert scales_a and all(
+        np.asarray(v).dtype == np.float32 for v in scales_a.values())
+    p.predict_arrays(imgs)
+    n0 = p._fwd._cache_size()
+    p.reload(vb["params"], vb["batch_stats"])
+    assert p._fwd._cache_size() == n0
+    fresh = serving.Predictor(cfg, vb["params"], vb["batch_stats"],
+                              buckets=(2,), int8=True,
+                              calibration_images=calib)
+    np.testing.assert_array_equal(p.predict_arrays(imgs),
+                                  fresh.predict_arrays(imgs))
+
+
+def test_checkpoint_follower_serves_new_steps(tmp_path):
+    """CheckpointFollower (serve_cli --follow): a newer committed step is
+    hot-swapped into the live predictor and served identically to a
+    fresh load of that step; polls with nothing new are no-ops."""
+    from attentionalpoolingaction_tpu import checkpoint as ckpt_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+    from attentionalpoolingaction_tpu.data import records
+    from attentionalpoolingaction_tpu.data.datasets import get_dataset
+
+    spec = get_dataset("mpii")
+    path = str(tmp_path / "train.tfrecord")
+    records.write_synthetic_dataset(path, spec, 8, image_size=80)
+    cfg = _tiny_cfg(train_pattern=path, workdir=str(tmp_path / "run"),
+                    checkpoint_every=1, log_every=1, resize_max=90)
+    mgr = ckpt_lib.make_manager(cfg.workdir + "/checkpoints")
+    train_lib.train(cfg, num_steps=1, checkpoint_manager=mgr)
+    mgr.wait_until_finished()
+
+    pred = serving.load_predictor(cfg, buckets=(2,))
+    assert pred.step == 1
+    follower = serving.CheckpointFollower(
+        pred, ckpt_lib.make_manager(cfg.workdir + "/checkpoints"),
+        poll_seconds=9999)
+    assert follower.poll_once() is False      # nothing newer yet
+    blob = _jpeg(3)
+    before = pred.predict_bytes([blob])[0]
+
+    train_lib.train(cfg, num_steps=2, checkpoint_manager=mgr)  # resumes
+    mgr.wait_until_finished()
+    assert follower.poll_once() is True
+    assert pred.step == 2
+    after = pred.predict_bytes([blob])[0]
+    fresh = serving.load_predictor(cfg, buckets=(2,))
+    assert after == fresh.predict_bytes([blob])[0]
+    assert after != before
+    assert "serving_checkpoint_step 2" in pred.stats.render()
