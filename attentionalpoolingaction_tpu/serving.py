@@ -227,6 +227,10 @@ class BucketedPredictor:
         chunked."""
         out = []
         cap = self.buckets[-1]
+        # snapshot once: one request sees ONE checkpoint.  A concurrent
+        # reload() between the chunks of an over-cap request must not mix
+        # two checkpoints' probabilities in a single response
+        weights = self._weights
         for lo in range(0, len(images), cap):
             chunk = images[lo:lo + cap]
             b = self._bucket(len(chunk))
@@ -237,7 +241,7 @@ class BucketedPredictor:
             else:
                 padded = chunk
             t0 = time.monotonic()
-            logits = np.asarray(self._fwd(self._weights, padded),
+            logits = np.asarray(self._fwd(weights, padded),
                                 np.float32)[:len(chunk)]
             self.stats.observe_dispatch(len(chunk), len(padded),
                                         time.monotonic() - t0)

@@ -698,6 +698,44 @@ def test_reload_hot_swaps_weights_without_recompile():
         assert p.stats.gauges()["serving_checkpoint_step"] == 7
 
 
+def test_predict_arrays_one_checkpoint_per_request():
+    """A multi-chunk request (N > largest bucket) racing a reload() must
+    serve EVERY chunk from the weights snapshot taken at request start —
+    two checkpoints must never mix inside one response."""
+    cfg = _tiny_cfg()
+    model = ActionModel(num_classes=393, backbone=cfg.backbone,
+                        pooling=cfg.pooling, rank=cfg.rank)
+    va = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    vb = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+    p = serving.Predictor(cfg, va["params"], va["batch_stats"],
+                          buckets=(2,))
+    imgs = np.random.default_rng(3).integers(
+        0, 255, (4, 64, 64, 3), np.uint8)      # 2 chunks at cap=2
+    want_old = p.predict_arrays(imgs)
+
+    orig_fwd, calls = p._fwd, {"n": 0}
+
+    def racing_fwd(weights, batch):            # reload between chunks
+        calls["n"] += 1
+        if calls["n"] == 1:
+            p.reload(vb["params"], vb["batch_stats"])
+        return orig_fwd(weights, batch)
+
+    p._fwd = racing_fwd
+    try:
+        out = p.predict_arrays(imgs)
+    finally:
+        p._fwd = orig_fwd
+    assert calls["n"] == 2
+    np.testing.assert_array_equal(out, want_old)   # all chunks pre-reload
+    fresh = serving.Predictor(cfg, vb["params"], vb["batch_stats"],
+                              buckets=(2,))
+    np.testing.assert_array_equal(p.predict_arrays(imgs),
+                                  fresh.predict_arrays(imgs))
+
+
 def test_reload_int8_static_calibration_requantizes():
     """With static calibration the scales are weight leaves (np.float32),
     recomputed per reload; reloaded predictions must equal a fresh

@@ -354,11 +354,20 @@ def test_grain_state_files_per_process_and_gc(rng, tmp_path):
     assert files == sorted(f"grain_iter_{s}_p0.json" for s in kept)
     assert 5 in kept and 1 not in kept  # max_to_keep pruned early steps
 
-    # resume picks up the per-process file
+    # resume picks up the per-process file.  The H2D prefetch wrapper may
+    # PULL ahead of consumption (it2.n can exceed the consumed count), so
+    # the contract to assert is the CHECKPOINTED state: step 6 must record
+    # the consumed position n=6 (restored n=5 + the one batch step 6 ran)
+    import json
+
     it2 = FakeStatefulIter()
     train_lib.train(cfg, train_iter=it2, num_steps=6,
                     checkpoint_manager=mgr)
-    assert it2.n == 6  # restored n=5, then one more batch
+    mgr.wait_until_finished()
+    state6 = json.loads(
+        (tmp_path / "ck_grain" / "grain_iter_6_p0.json").read_text())
+    assert state6 == {"n": 6}
+    assert it2.n >= 6                  # restored at n=5, pulled at least 1
 
 
 def test_multicrop_eval_sharded(rng):
