@@ -92,6 +92,14 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
     retry_after = "1"
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: the stdlib default (HTTP/1.0) closes the
+        # TCP connection after EVERY response, so each request pays
+        # connection setup + a fresh handler thread — measured on the
+        # real chip this put the http-e2e p99 at 4.5x the batcher-level
+        # p99.  Safe because every response path below sends
+        # Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # absl logging, not stderr spam
             logging.info("%s " + fmt, self.address_string(), *args)
 
@@ -142,6 +150,14 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     observed = True
                     stats.observe_latency(time.monotonic() - t_start)
 
+            if self.headers.get("Transfer-Encoding"):
+                # chunked bodies aren't parsed here; under keep-alive an
+                # unread chunked body would corrupt the next request's
+                # parse, so answer 411 and drop the connection
+                self.close_connection = True
+                self._json(411, {"error": "send Content-Length, not "
+                                          "Transfer-Encoding"})
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)

@@ -149,7 +149,11 @@ def main():
                     help="resnet50 @64px for smoke tests")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (handled pre-parse)")
+    ap.add_argument("--only", default="worker,handler,http",
+                    help="comma list of wirings to run (worker/handler/"
+                         "http) — re-measure one without paying for all")
     args = ap.parse_args()
+    only = set(args.only.split(","))
     print("backend:", jax.devices())
 
     buckets = (1, 8, 32) if args.max_batch >= 32 else (1, args.max_batch)
@@ -163,52 +167,59 @@ def main():
     # wiring 1 (pre-r4): raw bytes through the batcher; the single worker
     # thread decodes every image of every coalesced batch, serial with
     # device dispatch
-    b1 = serving.DynamicBatcher(
-        lambda bb: pred.predict_bytes(bb, topk=1),
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
-    wall, lats = drive(
-        args.clients, args.requests,
-        lambda i, tid: b1.submit(blobs[i % len(blobs)]).result(timeout=60))
-    b1.stop()
-    r_worker = report("worker-decode", wall, lats, args.requests)
+    r_worker = r_handler = None
+    if "worker" in only:
+        b1 = serving.DynamicBatcher(
+            lambda bb: pred.predict_bytes(bb, topk=1),
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        wall, lats = drive(
+            args.clients, args.requests,
+            lambda i, tid: b1.submit(
+                blobs[i % len(blobs)]).result(timeout=60))
+        b1.stop()
+        r_worker = report("worker-decode", wall, lats, args.requests)
 
     # wiring 2 (production): decode in the client thread (stand-in for
     # the HTTP handler thread), batcher coalesces arrays
-    b2 = serving.DynamicBatcher(
-        lambda imgs: pred.predict_preprocessed(imgs, topk=1),
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
-    wall, lats = drive(
-        args.clients, args.requests,
-        lambda i, tid: b2.submit(
-            pred.preprocess(blobs[i % len(blobs)])).result(timeout=60))
-    b2.stop()
-    r_handler = report("handler-decode", wall, lats, args.requests)
+    if "handler" in only:
+        b2 = serving.DynamicBatcher(
+            lambda imgs: pred.predict_preprocessed(imgs, topk=1),
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        wall, lats = drive(
+            args.clients, args.requests,
+            lambda i, tid: b2.submit(
+                pred.preprocess(blobs[i % len(blobs)])).result(timeout=60))
+        b2.stop()
+        r_handler = report("handler-decode", wall, lats, args.requests)
 
     # production path end-to-end: real HTTP server, concurrent POSTs
-    server = serve_cli.make_server(pred, "127.0.0.1", 0, topk=1,
-                                   max_batch=args.max_batch,
-                                   max_wait_ms=args.max_wait_ms)
-    host, port = server.server_address[:2]
-    st = threading.Thread(target=server.serve_forever, daemon=True)
-    st.start()
-    conns = [http.client.HTTPConnection(host, port, timeout=60)
-             for _ in range(args.clients)]
+    if "http" in only:
+        server = serve_cli.make_server(pred, "127.0.0.1", 0, topk=1,
+                                       max_batch=args.max_batch,
+                                       max_wait_ms=args.max_wait_ms)
+        host, port = server.server_address[:2]
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        conns = [http.client.HTTPConnection(host, port, timeout=60)
+                 for _ in range(args.clients)]
 
-    def http_req(i, tid):
-        c = conns[tid]
-        c.request("POST", "/predict", blobs[i % len(blobs)])
-        resp = c.getresponse()
-        body = resp.read()
-        assert resp.status == 200, (resp.status, body[:200])
+        def http_req(i, tid):
+            c = conns[tid]
+            c.request("POST", "/predict", blobs[i % len(blobs)])
+            resp = c.getresponse()
+            body = resp.read()
+            assert resp.status == 200, (resp.status, body[:200])
 
-    wall, lats = drive(args.clients, args.requests, http_req)
-    report("http-e2e", wall, lats, args.requests)
-    server.shutdown()
-    server.batcher.stop()
-    server.server_close()
+        wall, lats = drive(args.clients, args.requests, http_req)
+        report("http-e2e", wall, lats, args.requests)
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
 
-    print(f"handler-thread decode: {100 * (r_handler / r_worker - 1):+.1f}% "
-          f"throughput vs the pre-r4 worker-decode wiring")
+    if r_worker and r_handler:
+        print(f"handler-thread decode: "
+              f"{100 * (r_handler / r_worker - 1):+.1f}% "
+              f"throughput vs the pre-r4 worker-decode wiring")
 
 
 if __name__ == "__main__":

@@ -306,6 +306,44 @@ def test_http_server_end_to_end(predictor):
         t.join(timeout=5)
 
 
+def test_http_keepalive_reuses_connection(predictor):
+    """The server speaks HTTP/1.1 with keep-alive: sequential requests on
+    one client connection reuse the same TCP socket (the stdlib default,
+    HTTP/1.0, closes after every response — each request then pays
+    connection setup + a new handler thread, which measured as 4.5x the
+    batcher-level p99 on the real chip)."""
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=1, max_batch=4,
+                         max_wait_ms=2.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/predict", body=_jpeg(11))
+        resp = conn.getresponse()
+        assert resp.version == 11 and not resp.will_close
+        resp.read()
+        sock = conn.sock
+        assert sock is not None
+        # 400 (bad image) and GET responses keep the connection open too
+        for method, path, body in [("POST", "/predict", _jpeg(12)),
+                                   ("POST", "/predict", b"not an image"),
+                                   ("GET", "/healthz", None),
+                                   ("GET", "/metrics", None)]:
+            conn.request(method, path, body=body)
+            resp = conn.getresponse()
+            assert not resp.will_close
+            resp.read()
+            assert conn.sock is sock  # same socket: no reconnect happened
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
+
+
 def test_data_parallel_int8_predictor():
     """int8 (BN-folded quantized) serving composes with data_parallel:
     the quantized weight pytree replicates across the local mesh and
