@@ -106,7 +106,9 @@ class TrainConfig:
     # clip eval only: number of deterministic temporal clips per video
     # (clip k samples each segment at fraction (k+0.5)/eval_clips); their
     # logits combine through the standard per-video averaging — the
-    # classic multi-clip video protocol, temporal analog of multicrop
+    # classic multi-clip video protocol, temporal analog of multicrop.
+    # Composes with eval_multicrop=N ("K clips x N crops"): each clip
+    # also yields N spatially offset rows, same averaging
     eval_clips: int = 1
     # persistent XLA compilation cache (jax_compilation_cache_dir): a
     # preemption restart re-jits the train step from the on-disk cache in

@@ -179,7 +179,7 @@ def _segment_picks(n: int, clip_frames: int, rng=None,
 
 def _clip_features(raws, rng, spec: DatasetSpec, *, image_size,
                    is_training, resize_min, resize_max,
-                   transfer_uint8=False):
+                   transfer_uint8=False, crop_frac=None):
     """Parse ``clip_frames`` raw records of ONE video into a stacked
     (T, H, W, 3) clip with a single shared geometric transform; label and
     video_id come from the first frame (identical across a video)."""
@@ -187,7 +187,8 @@ def _clip_features(raws, rng, spec: DatasetSpec, *, image_size,
     clip, transform = ppnp.preprocess_clip_np(
         [p["image_bytes"] for p in parsed], out_size=image_size,
         is_training=is_training, resize_min=resize_min,
-        resize_max=resize_max, rng=rng, keep_uint8=transfer_uint8)
+        resize_max=resize_max, rng=rng, keep_uint8=transfer_uint8,
+        crop_frac=crop_frac)
     first = parsed[0]
     return {"image": clip, "transform": transform,
             "label": first["label"], "video_id": first["video_id"],
@@ -252,6 +253,7 @@ def make_video_clip_eval_dataset(pattern, spec: DatasetSpec, *,
                                  resize_min: int | None = None,
                                  clip_frames: int = 8,
                                  num_clips: int = 1,
+                                 num_crops: int = 1,
                                  pad_to_batch: bool = True,
                                  shard_index: int = 0,
                                  shard_count: int = 1):
@@ -262,27 +264,37 @@ def make_video_clip_eval_dataset(pattern, spec: DatasetSpec, *,
     the standard eval flow's per-video averaging combines them (the
     classic multi-clip video protocol — the temporal analog of multicrop,
     and it shards the same way: clips of one video may land on different
-    processes, averaging happens after the gather)."""
+    processes, averaging happens after the gather).
+
+    ``num_crops > 1`` adds the SPATIAL multi-crop axis (the classic
+    "K clips x N crops" video protocol): each clip additionally yields
+    ``num_crops`` rows, crop j sharing one geometric placement across
+    all frames at fraction j/(num_crops-1) of the spare extent — the
+    same diagonal crops as eval_multicrop_np — and the identical
+    video_id folds crops into the same per-video averaging.  Rows per
+    video = num_clips * num_crops."""
     import grain
 
     resize_min = resize_min or image_size
     src = make_source(pattern)
     by_vid = build_video_index(src, spec)
-    rows = [(by_vid[v], k) for v in sorted(by_vid)
-            for k in range(num_clips)]
+    num_crops = max(num_crops, 1)
+    rows = [(by_vid[v], k, j) for v in sorted(by_vid)
+            for k in range(num_clips) for j in range(num_crops)]
 
     ds = grain.MapDataset.source(rows).seed(0)
     if shard_count > 1:
         ds = ds.slice(slice(shard_index, None, shard_count))
 
     def to_features(row):
-        frame_idxs, k = row
+        frame_idxs, k, j = row
         picks = _segment_picks(len(frame_idxs), clip_frames,
                                frac=(k + 0.5) / num_clips)
         feats = _clip_features(
             [src[frame_idxs[p]] for p in picks], None, spec,
             image_size=image_size, is_training=False,
-            resize_min=resize_min, resize_max=None)
+            resize_min=resize_min, resize_max=None,
+            crop_frac=None if num_crops == 1 else j / (num_crops - 1))
         return {**feats, "mask": np.float32(1.0)}
 
     ds = ds.map(to_features)

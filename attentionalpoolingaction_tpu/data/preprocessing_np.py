@@ -30,9 +30,24 @@ def preprocess_image_np(image_bytes: bytes, *, out_size: int,
                         keep_uint8: bool = False):
     """Decode + VGG preprocess one example.  Returns (image f32 HWC,
     transform f32 [scale_y, scale_x, offset_y, offset_x, flip])."""
+    return preprocess_decoded_np(
+        decode_jpeg(image_bytes), out_size=out_size,
+        is_training=is_training, resize_min=resize_min,
+        resize_max=resize_max, rng=rng, keep_uint8=keep_uint8)
+
+
+def preprocess_decoded_np(decoded: np.ndarray, *, out_size: int,
+                          is_training: bool, resize_min: int,
+                          resize_max: int | None = None,
+                          rng: np.random.Generator | None = None,
+                          keep_uint8: bool = False):
+    """The geometry half of preprocess_image_np for an already-decoded
+    RGB uint8 array — same VGG transforms, no container assumption
+    (serving video frames come decoded from cv2.VideoCapture, not as
+    per-frame JPEGs)."""
     import cv2
 
-    img = decode_jpeg(image_bytes).astype(np.float32)
+    img = decoded.astype(np.float32)
     h, w = img.shape[:2]
 
     if is_training and resize_max is not None and resize_max > resize_min:
@@ -73,14 +88,20 @@ def preprocess_clip_np(frames: list, *, out_size: int,
                        is_training: bool, resize_min: int,
                        resize_max: int | None = None,
                        rng: np.random.Generator | None = None,
-                       keep_uint8: bool = False):
+                       keep_uint8: bool = False,
+                       crop_frac: float | None = None):
     """Preprocess a temporal clip of encoded frames with ONE shared
     geometric transform — the resize side, crop offset and flip are
     sampled once (from the first frame's dimensions) and applied to every
     frame.  Per-frame augmentation would decorrelate the clip and turn
     temporal attention into noise; sharing the geometry is the standard
     video-training protocol.  Returns (clip (T, out, out, 3), transform)
-    with the same transform layout as preprocess_image_np."""
+    with the same transform layout as preprocess_image_np.
+
+    ``crop_frac`` (eval only): place the shared crop at this fraction of
+    the spare extent along BOTH axes — the same diagonal placement as
+    eval_multicrop_np's crop ``i`` at ``i/(num_crops-1)`` — for spatial
+    multi-crop clip eval.  None keeps the central crop."""
     import cv2
 
     imgs = [decode_jpeg(b).astype(np.float32) for b in frames]
@@ -98,6 +119,10 @@ def preprocess_clip_np(frames: list, *, out_size: int,
         oy = int(rng.integers(0, max(new_h - out_size, 0) + 1))
         ox = int(rng.integers(0, max(new_w - out_size, 0) + 1))
         flip = bool(rng.integers(0, 2))
+    elif crop_frac is not None:
+        oy = int(round(max(new_h - out_size, 0) * crop_frac))
+        ox = int(round(max(new_w - out_size, 0) * crop_frac))
+        flip = False
     else:
         oy = max(new_h - out_size, 0) // 2
         ox = max(new_w - out_size, 0) // 2

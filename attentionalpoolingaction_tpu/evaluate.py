@@ -167,16 +167,17 @@ def make_eval_input(cfg: config_lib.TrainConfig, spec,
             raise ValueError(
                 "clip_frames > 1 eval requires input_pipeline='grain' "
                 "(the clip sampler runs on the random-access video index)")
-        if multicrop:
-            raise ValueError(
-                "clip_frames > 1 does not compose with eval_multicrop "
-                "(use eval_clips=K for the temporal analog); eval_int8 "
-                "works — folded_forward takes 5-D clips")
+        # eval_multicrop composes as EXTRA ROWS per video (the classic
+        # "K clips x N crops" protocol): each crop is a full 5-D clip
+        # row sharing the video_id, so per-video averaging combines
+        # clips and crops uniformly — no (B, crops, ...) axis, the plain
+        # 5-D eval step serves every combination (incl. eval_int8)
         return iter(grain_pipeline.make_video_clip_eval_dataset(
             cfg.eval_pattern, spec, batch_size=cfg.eval_batch_size,
             image_size=cfg.image_size,
             resize_min=cfg.resize_min_resolved,
             clip_frames=cfg.clip_frames, num_clips=cfg.eval_clips,
+            num_crops=cfg.eval_multicrop if multicrop else 1,
             shard_index=jax.process_index() if shard_by_process else 0,
             shard_count=jax.process_count() if shard_by_process else 1))
     if cfg.input_pipeline == "grain":
@@ -219,7 +220,10 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
     pass a prebuilt ``step_fn`` (see :class:`Evaluator`) to reuse the
     compiled forward across invocations."""
     spec = get_dataset(cfg.dataset)
-    multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+    # clip mode folds crops into ROWS (see make_eval_input), so the
+    # (B, crops, H, W, 3) multicrop step applies to the image path only
+    multicrop = (cfg.eval_multicrop and cfg.eval_multicrop > 1
+                 and cfg.clip_frames <= 1)
     if cfg.eval_ema:
         # evaluate the EMA weights (slim's moving_average_decay eval-time
         # restore of the shadow variables)
@@ -325,10 +329,11 @@ def evaluate(cfg: config_lib.TrainConfig, state, *, eval_iter=None,
             vids, logits, labels)
         results["accuracy"] = metrics_lib.accuracy(vid_labels, avg)
         if cfg.clip_frames > 1:
-            # each row is a CLIP (already video-level), not a frame; the
-            # row-level number is only informative with several clips
-            # per video (accuracy of single clips before averaging)
-            if cfg.eval_clips > 1:
+            # each row is a CLIP VIEW (clip x crop, already video-level),
+            # not a frame; the row-level number is only informative with
+            # several views per video (accuracy before averaging)
+            if cfg.eval_clips > 1 or (cfg.eval_multicrop
+                                      and cfg.eval_multicrop > 1):
                 results["per_clip_accuracy"] = metrics_lib.accuracy(
                     labels, logits)
         else:
@@ -352,7 +357,8 @@ class Evaluator:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
         mesh = self.mesh
-        multicrop = cfg.eval_multicrop and cfg.eval_multicrop > 1
+        multicrop = (cfg.eval_multicrop and cfg.eval_multicrop > 1
+                     and cfg.clip_frames <= 1)  # clip crops are rows
         if cfg.eval_int8:
             self.step_fn = make_int8_eval_step(cfg, mesh,
                                                multicrop=multicrop)

@@ -36,10 +36,12 @@ flags.DEFINE_string(
     "with this (the artifact fixed them at export time)")
 flags.DEFINE_multi_string("images", [], "input image paths")
 flags.DEFINE_bool("video", False,
-                  "treat --images as the ORDERED frames of ONE video: "
-                  "TSN-subsample to the model's clip length and print a "
-                  "single clip-pooled prediction (the offline "
-                  "counterpart of serve_cli's /predict_video)")
+                  "treat --images as the ORDERED frames of ONE video — "
+                  "or, when it is a single .mp4/.avi/.mov/.mkv/.webm "
+                  "path, as the encoded video FILE itself: TSN-subsample "
+                  "to the model's clip length and print a single "
+                  "clip-pooled prediction (the offline counterpart of "
+                  "serve_cli's /predict_video)")
 flags.DEFINE_integer("topk", 5, "top-k classes to report")
 flags.DEFINE_integer("batch_size", 32, "inference batch size")
 flags.DEFINE_string("step", None, "checkpoint step: an int, or 'best' for the keep-best slot (default latest)")
@@ -84,7 +86,14 @@ def main(argv):
         for p in paths:
             with open(p, "rb") as f:
                 blobs.append(f.read())
-        res = predictor.predict_clip_bytes(blobs, topk=FLAGS.topk)
+        if len(paths) == 1 and paths[0].rsplit(".", 1)[-1].lower() in (
+                "mp4", "avi", "mov", "mkv", "webm", "video"):
+            # one VIDEO FILE: decode the TSN picks from the container
+            # (serve_cli /predict_video's raw-upload counterpart)
+            res = predictor.predict_video_bytes(blobs[0],
+                                                topk=FLAGS.topk)
+        else:
+            res = predictor.predict_clip_bytes(blobs, topk=FLAGS.topk)
         if "error" in res:
             raise SystemExit(res["error"])
         print(json.dumps({"frames": paths, **res}), flush=True)

@@ -15,7 +15,9 @@ Endpoints:
     POST /predict          body = raw JPEG/PNG bytes -> {"topk": [...]}
     POST /predict_batch    body = {"images": [<base64>, ...]}
                            -> {"results": [{"topk": [...]}, ...]}
-    POST /predict_video    body = {"frames": [<base64>, ...]} (ordered)
+    POST /predict_video    body = a raw video FILE (Content-Type:
+                           video/*; any container cv2/ffmpeg opens) or
+                           {"frames": [<base64>, ...]} (ordered)
                            -> one clip-pooled {"topk": [...]} per video
                            (bf16, --int8, and clip-exported artifacts;
                            per-image artifacts return a clear error)
@@ -177,10 +179,22 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                     stats.inc("serving_requests_total")
                     self._json(200, res)
                 elif self.path == "/predict_video":
-                    # one VIDEO (ordered frames) -> one clip-pooled
-                    # prediction; dispatched directly (a video is already
-                    # a batch of frames — coalescing videos of different
-                    # lengths would recompile per padded length)
+                    # one VIDEO -> one clip-pooled prediction; dispatched
+                    # directly (a video is already a batch of frames —
+                    # coalescing videos of different lengths would
+                    # recompile per padded length).  Two request forms:
+                    # a raw container upload (Content-Type: video/*) or
+                    # JSON {"frames": [<base64>, ...]} of ordered frames
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("video/"):
+                        res = predictor.predict_video_bytes(body,
+                                                            topk=topk)
+                        observe_once()
+                        ok = "error" not in res
+                        stats.inc("serving_requests_total" if ok
+                                  else "serving_request_errors_total")
+                        self._json(200 if ok else 400, res)
+                        return
                     try:
                         frames = [base64.b64decode(b)
                                   for b in json.loads(body)["frames"]]

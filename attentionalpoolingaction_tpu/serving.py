@@ -57,6 +57,62 @@ LATENCY_BUCKETS = (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25,
                    0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0)
 
 
+def decode_video_frames(data: bytes, clip_frames: int):
+    """Decode an encoded VIDEO CONTAINER (mp4/avi/mkv/... — anything the
+    cv2/ffmpeg build opens) into the ``clip_frames`` TSN segment-center
+    frames as RGB uint8 arrays, plus the container's frame count.
+
+    Decoding is one sequential pass that ``grab()``s past unpicked frames
+    and ``retrieve()``s (full-decodes) only the picks — deterministic
+    across codecs, unlike CAP_PROP_POS_FRAMES seeking, and it never holds
+    more than the picked frames in memory.  When the container's frame
+    count metadata is absent or wrong (common for partial/streamed files)
+    a grab()-only counting pass runs first.  cv2 needs a real file, so
+    the bytes land in a NamedTemporaryFile for the duration."""
+    import os
+    import tempfile
+
+    import cv2
+
+    from attentionalpoolingaction_tpu.data.grain_pipeline import (
+        _segment_picks)
+
+    with tempfile.NamedTemporaryFile(suffix=".video",
+                                     delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        cap = cv2.VideoCapture(path)
+        try:
+            if not cap.isOpened():
+                raise ValueError("not a decodable video container")
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            if n <= 0:  # unreliable metadata: count by grabbing
+                while cap.grab():
+                    n += 1
+                cap.release()
+                cap = cv2.VideoCapture(path)
+            if n <= 0:
+                raise ValueError("video has no frames")
+            picks = _segment_picks(n, clip_frames)
+            want = set(picks)
+            by_idx: dict[int, np.ndarray] = {}
+            for idx in range(max(picks) + 1):
+                if idx in want:
+                    ok, fr = cap.read()
+                    if not ok:
+                        raise ValueError(
+                            f"decode failed at frame {idx}/{n}")
+                    by_idx[idx] = cv2.cvtColor(fr, cv2.COLOR_BGR2RGB)
+                elif not cap.grab():
+                    raise ValueError(f"decode failed at frame {idx}/{n}")
+            return [by_idx[p] for p in picks], n
+        finally:
+            cap.release()
+    finally:
+        os.unlink(path)
+
+
 class ServingStats:
     """Thread-safe serving counters + latency histograms, rendered as
     Prometheus text (`serve_cli` GET /metrics).  Tracks what production
@@ -305,6 +361,41 @@ class BucketedPredictor:
             frames = [self.preprocess(frame_blobs[p]) for p in picks]
         except Exception as exc:
             return {"error": f"bad video frame: {exc}"}
+        return self._predict_clip(frames, topk,
+                                  frames_received=len(frame_blobs))
+
+    def predict_video_bytes(self, video_bytes: bytes, topk: int = 5):
+        """One encoded video FILE (mp4/avi/... — any container the cv2/
+        ffmpeg build opens) -> one clip-pooled prediction.  The TSN
+        segment-center frames are decoded straight out of the container
+        (decode_video_frames: one pass, only the picks fully decoded)
+        and preprocessed with the same eval geometry as
+        predict_clip_bytes — the client uploads the file it has instead
+        of extracting, encoding and base64ing every frame."""
+        if not self.supports_clips:
+            return {"error": "this predictor has no clip forward (the "
+                             "artifact was exported per-image); re-export "
+                             "with export_predictor(include_clip=True) / "
+                             "a clip_frames>1 config, or serve from the "
+                             "checkpoint"}
+        try:
+            frames, n = decode_video_frames(video_bytes, self.clip_length)
+            frames = [self.preprocess_decoded(fr) for fr in frames]
+        except Exception as exc:
+            return {"error": f"bad video: {exc}"}
+        return self._predict_clip(frames, topk, frames_received=n)
+
+    def preprocess_decoded(self, decoded: np.ndarray) -> np.ndarray:
+        """The geometry half of preprocess() for an already-decoded RGB
+        frame (video-container inputs skip the per-frame JPEG stage)."""
+        img, _ = ppnp.preprocess_decoded_np(
+            decoded, out_size=self.cfg.image_size, is_training=False,
+            resize_min=self.cfg.resize_min_resolved, keep_uint8=True)
+        return img
+
+    def _predict_clip(self, frames, topk: int, frames_received: int):
+        """Shared tail of the clip entry points: ``frames`` are the
+        clip_length preprocessed uint8 frames, in temporal order."""
         clip = np.stack(frames)[None]          # (1, T, H, W, 3) uint8
         t0 = time.monotonic()
         logits = np.asarray(self._clip_fwd(self._weights, clip),
@@ -314,8 +405,8 @@ class BucketedPredictor:
         top = np.argsort(-p)[:topk]
         return {"topk": [{"class": int(c), "prob": float(p[c])}
                          for c in top],
-                "clip_frames": int(t),
-                "frames_received": len(frame_blobs)}
+                "clip_frames": int(self.clip_length),
+                "frames_received": int(frames_received)}
 
     def predict_preprocessed(self, images: Sequence[np.ndarray],
                              topk: int = 5):

@@ -255,6 +255,89 @@ def test_multiclip_eval_e2e(hmdb_records, tmp_path):
     assert 0.0 <= res3["accuracy"] <= 1.0
 
 
+def test_clip_crop_frac_matches_eval_multicrop():
+    """preprocess_clip_np(crop_frac=j/(N-1)) places the shared crop at
+    exactly eval_multicrop_np's crop j — the spatial multi-crop clip
+    protocol reuses the image protocol's geometry, frame for frame."""
+    import cv2
+
+    from attentionalpoolingaction_tpu.data import preprocessing_np as ppnp
+
+    img = np.random.default_rng(0).integers(
+        0, 256, size=(90, 120, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".jpg", img)
+    assert ok
+    b = enc.tobytes()
+
+    crops = ppnp.eval_multicrop_np(
+        b, out_size=48, resize_min=56, num_crops=3)
+    for j in range(3):
+        clip, _ = ppnp.preprocess_clip_np(
+            [b, b], out_size=48, is_training=False, resize_min=56,
+            crop_frac=j / 2)
+        np.testing.assert_array_equal(np.asarray(clip[0]), crops[j])
+        np.testing.assert_array_equal(np.asarray(clip[1]), crops[j])
+    # crops genuinely differ when there is spare extent to place them in
+    assert not np.array_equal(crops[0], crops[2])
+
+
+def test_clip_multicrop_rows(hmdb_records):
+    """num_crops=N emits clips*N rows per video (same video_id, same
+    temporal picks per clip, distinct spatial placements)."""
+    from attentionalpoolingaction_tpu.data import grain_pipeline as gp
+
+    path, spec = hmdb_records
+    ds = gp.make_video_clip_eval_dataset(
+        path, spec, batch_size=4, image_size=48, resize_min=64,
+        clip_frames=2, num_clips=2, num_crops=3)
+    vids, masks, imgs = [], [], []
+    for b in ds:
+        vids.append(b["video_id"])
+        masks.append(b["mask"])
+        imgs.append(b["image"])
+    m = np.concatenate(masks).astype(bool)
+    vids = np.concatenate(vids)[m]
+    imgs = np.concatenate(imgs)[m]
+    assert m.sum() == 24                   # 4 videos x 2 clips x 3 crops
+    counts = {v: int((vids == v).sum()) for v in set(vids.tolist())}
+    assert counts == {0: 6, 1: 6, 2: 6, 3: 6}
+    # within one video's first clip, the 3 crops are spatially distinct
+    first_vid = imgs[vids == 0][:3]
+    assert not np.array_equal(first_vid[0], first_vid[1])
+    assert not np.array_equal(first_vid[0], first_vid[2])
+
+
+def test_clip_multicrop_eval_e2e(hmdb_records, tmp_path):
+    """evaluate() composes clip_frames x eval_clips x eval_multicrop:
+    num_examples = videos*clips*crops, per-video metrics unchanged in
+    count; and with no spare crop extent (resize_min == image_size) the
+    3 identical crops average to EXACTLY the single-crop result."""
+    import dataclasses
+
+    from attentionalpoolingaction_tpu import evaluate as eval_lib
+    from attentionalpoolingaction_tpu import train as train_lib
+
+    path, _ = hmdb_records
+    cfg = config_lib.get_config(
+        "hmdb51_clip8", backbone="resnet_v1_50", clip_frames=2,
+        image_size=64, batch_size=2, eval_batch_size=2, resize_min=64,
+        bf16_backbone=False, eval_pattern=path,
+        workdir=str(tmp_path / "cmc"))
+    state, _, _, _ = train_lib.create_state(cfg)
+    res1 = eval_lib.evaluate(cfg, state)
+    res = eval_lib.evaluate(
+        dataclasses.replace(cfg, eval_clips=2, eval_multicrop=3), state)
+    assert res["num_examples"] == 24       # 4 videos x 2 clips x 3 crops
+    assert res["num_videos"] == res1["num_videos"] == 4
+    assert "per_clip_accuracy" in res
+    # resize_min == image_size leaves zero spare extent: every crop is
+    # the same pixels, so crop averaging is exact — accuracy must match
+    # the single-crop single-clip protocol's per-video decisions
+    res_crops_only = eval_lib.evaluate(
+        dataclasses.replace(cfg, eval_multicrop=3), state)
+    assert res_crops_only["accuracy"] == res1["accuracy"]
+
+
 def test_clip_iterator_exact_resume(hmdb_records):
     """The clip train iterator checkpoints like any Grain iterator: a
     fresh iterator restored from a JSON-roundtripped state reproduces
@@ -404,10 +487,6 @@ def test_clip_config_guards(hmdb_records, tmp_path):
                                 workdir=str(tmp_path / "g2"))
     with pytest.raises(ValueError, match="video"):
         train_lib.train(cfg, num_steps=1)
-    # clip eval composes with eval_clips/int8 but NOT multicrop
-    cfg = config_lib.get_config("hmdb51_clip8", **base, eval_multicrop=3)
-    with pytest.raises(ValueError, match="multicrop"):
-        eval_lib.make_eval_input(cfg, spec)
     # eval_clips without clip mode is a loud error, not silently ignored
     cfg = config_lib.get_config("hmdb51_rgb", eval_pattern=path,
                                 eval_clips=10)

@@ -416,6 +416,63 @@ def test_predict_clip_bytes(predictor):
     assert res2["topk"][0]["class"] == single["topk"][0]["class"]
 
 
+def _video(num_frames=8, size=64, red_step=32):
+    """Encode an MJPG/AVI container of solid-color frames (frame i's red
+    channel = i*red_step + 16 — lossy-codec-robust, temporally ordered)."""
+    import os
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                        (size, size))
+    assert w.isOpened()
+    for i in range(num_frames):
+        fr = np.zeros((size, size, 3), np.uint8)
+        fr[:, :, 2] = min(i * red_step + 16, 255)  # BGR: red channel
+        w.write(fr)
+    w.release()
+    with open(path, "rb") as f:
+        data = f.read()
+    os.unlink(path)
+    return data
+
+
+def test_decode_video_frames_tsn_picks():
+    """decode_video_frames pulls exactly the TSN segment-center frames
+    out of the container: 8 frames, clip 4 -> frames 1, 3, 5, 7 (the
+    center of each 2-frame segment), decoded as RGB."""
+    frames, n = serving.decode_video_frames(_video(8), 4)
+    assert n == 8 and len(frames) == 4
+    for fr, want_idx in zip(frames, [1, 3, 5, 7]):
+        assert fr.shape == (64, 64, 3) and fr.dtype == np.uint8
+        # RGB channel 0 is the encoded red; MJPG is lossy -> tolerance
+        assert abs(float(fr[:, :, 0].mean()) - (want_idx * 32 + 16)) < 10
+    # short video: frames repeat to fill the clip, count preserved
+    frames2, n2 = serving.decode_video_frames(_video(2), 4)
+    assert n2 == 2 and len(frames2) == 4
+    with pytest.raises(ValueError, match="container"):
+        serving.decode_video_frames(b"definitely not a video", 4)
+
+
+def test_predict_video_bytes(predictor):
+    """A raw container upload -> ONE clip-pooled prediction, numerically
+    identical to feeding the decoded TSN picks through the frame path."""
+    data = _video(12)
+    res = predictor.predict_video_bytes(data, topk=3)
+    assert "error" not in res, res
+    assert len(res["topk"]) == 3
+    assert res["clip_frames"] == 8 and res["frames_received"] == 12
+    # exactness: the container path == preprocess_decoded on the same
+    # decoded picks through the same clip forward
+    frames, _ = serving.decode_video_frames(data, predictor.clip_length)
+    want = predictor._predict_clip(
+        [predictor.preprocess_decoded(f) for f in frames], 3,
+        frames_received=12)
+    assert res == want
+    # corrupt container -> error dict, not an exception
+    assert "bad video" in predictor.predict_video_bytes(b"junk")["error"]
+
+
 def test_warmup_covers_clip_shape():
     """warmup() must pre-compile the clip forward too — the first
     /predict_video request must not pay a JIT."""
@@ -561,6 +618,19 @@ def test_http_predict_video(predictor):
         r = conn.getresponse()
         assert r.status == 400
         json.loads(r.read())
+        # raw container upload (Content-Type: video/*) -> same endpoint
+        conn.request("POST", "/predict_video", body=_video(6),
+                     headers={"Content-Type": "video/x-msvideo"})
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert len(out["topk"]) == 2 and out["frames_received"] == 6
+        # corrupt container with a video Content-Type -> 400
+        conn.request("POST", "/predict_video", body=b"not a video",
+                     headers={"Content-Type": "video/mp4"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "bad video" in json.loads(r.read())["error"]
     finally:
         server.shutdown()
         server.batcher.stop()
