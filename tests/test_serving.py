@@ -1062,6 +1062,30 @@ def test_http_batch_overload_atomic_no_device_work():
         t.join(timeout=5)
 
 
+def _read_http_response(sock) -> bytes:
+    """Read exactly ONE full HTTP response (headers + Content-Length body)
+    from a raw socket.  A bare recv(4096) can return a partial response
+    (headers without body), leaving the body to pollute the NEXT read on
+    a keep-alive connection — the race that flaked these tests."""
+    data = b""
+    while b"\r\n\r\n" not in data:
+        chunk = sock.recv(4096)
+        if not chunk:
+            return data
+        data += chunk
+    head, _, rest = data.partition(b"\r\n\r\n")
+    length = 0
+    for line in head.split(b"\r\n"):
+        if line.lower().startswith(b"content-length:"):
+            length = int(line.split(b":", 1)[1])
+    while len(rest) < length:
+        chunk = sock.recv(4096)
+        if not chunk:
+            break
+        rest += chunk
+    return head + b"\r\n\r\n" + rest
+
+
 def test_idle_keepalive_connections_are_reaped(predictor):
     """Keep-alive thread hygiene (VERDICT r4 next #7): idle connections
     are closed after idle_timeout (releasing their handler threads) and
@@ -1081,7 +1105,7 @@ def test_idle_keepalive_connections_are_reaped(predictor):
         for _ in range(4):             # idle keep-alive clients
             s = socket.create_connection(("127.0.0.1", port), timeout=10)
             s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
-            assert b"200" in s.recv(4096)
+            assert b"200" in _read_http_response(s)
             socks.append(s)
         deadline = time.monotonic() + 5
         while (predictor.stats.gauges().get(
@@ -1128,17 +1152,12 @@ def test_connection_cap_rejects_with_503(predictor):
         for _ in range(2):             # fill the cap with live clients
             s = socket.create_connection(("127.0.0.1", port), timeout=10)
             s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
-            assert b"200" in s.recv(4096)
+            assert b"200" in _read_http_response(s)
             socks.append(s)
         s3 = socket.create_connection(("127.0.0.1", port), timeout=10)
         socks.append(s3)
         s3.settimeout(10)
-        data = b""
-        while b"\r\n\r\n" not in data:
-            chunk = s3.recv(4096)
-            if not chunk:
-                break
-            data += chunk
+        data = _read_http_response(s3)
         assert b"503" in data and b"Connection: close" in data
         assert s3.recv(1024) == b""    # server closed it
         time.sleep(0.2)
@@ -1146,7 +1165,7 @@ def test_connection_cap_rejects_with_503(predictor):
             "serving_conn_rejected_total"] >= 1
         # capped clients keep working
         socks[0].sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
-        assert b"200" in socks[0].recv(4096)
+        assert b"200" in _read_http_response(socks[0])
     finally:
         for s in socks:
             s.close()
