@@ -145,8 +145,11 @@ def bench_forward(batch_size=256, image_size=224,
 def bench_int8(batch_size=256, image_size=224, num_classes=393):
     """Quantized serving path (models/inference.py): BN-folded backbone,
     per-channel int8 weights, calibrated static activation scales.
-    Measured 10,271 img/s at B256/224px on v5e (1.28x bf16) with logit
-    cosine 0.9999 vs the bf16 forward (scripts/tpu_int8_bench.py)."""
+    Logit cosine 0.9999 vs the bf16 forward (scripts/tpu_int8_bench.py).
+    Measured on v5e under the r5 fixed harness: 14,186 img/s at
+    B128/224px (197 TFLOP/s, ~50% of int8 peak; 1.55x bf16) — the int8
+    curve peaks at HALF the bf16-optimal batch (B128 vs B512) because
+    halved activation bytes shift the sweet spot down."""
     from attentionalpoolingaction_tpu.models import inference as inf
 
     model = get_model("resnet_v1_101", num_classes=num_classes,
@@ -206,6 +209,16 @@ def bench_train(batch_size=128, image_size=224, dataset="mpii",
         batch["label"] = jnp.asarray(
             rng.integers(0, spec.num_classes, batch_size), jnp.int32)
     compiled, flops = _compile_and_flops(step_fn, state, batch)
+    if flops and grad_accum_steps > 1:
+        # XLA's cost_analysis counts a lax.scan/while BODY ONCE — the trip
+        # count is not multiplied in (verified: the accum=4 step reports
+        # 0.271x the accum=1 step's flops at identical total batch; 0.25
+        # body + 0.02 optimizer tail).  The microbatch fwd+bwd body is
+        # ~everything (the once-run optimizer tail is elementwise, ~1e8
+        # FLOPs vs ~5e12 for a 448px microbatch), so scaling by the
+        # accumulation factor recovers the true count to <0.1%.  Without
+        # this the accum-4 448px point read 11.3% MFU against a real ~45%.
+        flops *= grad_accum_steps
 
     box = [state]   # the step donates + replaces the state each call
 
@@ -254,9 +267,30 @@ def _last_round_parsed(metric: str):
         return None
 
 
+def _setup_compilation_cache():
+    """Persistent XLA cache (repo-local): the 448px compiles through the
+    axon tunnel dominate bench wall-time (~20+ of ~28 min); a populated
+    cache lets a rerun — including the driver's end-of-round run — load
+    every executable in seconds and always reach all eight points within
+    its timeout.  Same mechanism as train.setup_compilation_cache; dir
+    is gitignored.  BENCH_NO_CACHE=1 opts out (cold-compile timing)."""
+    if os.environ.get("BENCH_NO_CACHE"):
+        return
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_bench_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization; never fail the bench over it
+
+
 def main():
     import signal
 
+    _setup_compilation_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     fields: dict = {}
@@ -341,9 +375,14 @@ def main():
     # B128 224px bf16 (VERDICT r1 weak #1)
     record("train_images_per_sec_per_chip",
            bench_train, batch_size=128 if on_tpu else 4)
-    # quantized serving path (BN-folded + per-channel int8, B256)
-    record("int8_images_per_sec_per_chip",
-           bench_int8, int8=True, batch_size=256 if on_tpu else 8)
+    # quantized serving path (BN-folded + per-channel int8).  B128
+    # measured best in the r5 fixed-harness sweep — and by a lot: 14,186
+    # img/s vs 13,804@B96, 13,071@B64, 11,972@B192, 11,319@B256 (the old
+    # pin; reproduced twice).  RECIPE CHANGE => fresh field name, no
+    # legacy alias (the B256-era `int8_images_per_sec_per_chip` history
+    # is not comparable).
+    record("int8_b128_images_per_sec_per_chip",
+           bench_int8, int8=True, batch_size=128 if on_tpu else 8)
     # paper-scale (448px HICO 600-class) operating point (VERDICT r2
     # next #3).  RECIPE IS PART OF THE FIELD NAME (VERDICT r3 next #6):
     # the regression check compares by field name, so a recipe change
