@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import bench
+
+bench._setup_compilation_cache()   # the 448px compile dominates a cold
+                                   # run through the tunnel; share
+                                   # bench.py's repo-local XLA cache
+
 from attentionalpoolingaction_tpu import evaluate as eval_lib
 from attentionalpoolingaction_tpu.config import TrainConfig
 
@@ -53,6 +59,17 @@ def main():
     # which is exactly the H2D cost the pipeline needs to hide)
     batches = [rng.normal(size=(b, crops, size, size, 3)
                           ).astype(np.float32) for _ in range(4)]
+    if "--resident" in sys.argv:
+        # Isolate the FETCH serialization the pipeline fix targets by
+        # pre-placing inputs on device: in this sandbox the axon tunnel
+        # makes H2D (~231 MB/batch of f32 448px multicrop over TCP) the
+        # bottleneck in the streamed variant, drowning the loop-structure
+        # signal a PCIe-attached host would show.  With resident inputs,
+        # serialized pays fetch-then-dispatch per step while pipelined
+        # hides each fetch behind the next step's compute.
+        batches = [jax.device_put(x) for x in batches]
+        jax.block_until_ready(batches)
+        steps *= 4   # cheap steps — lengthen the window
     warm = step_fn(params, stats, batches[0])
     float(np.asarray(warm)[0, 0])   # compile + real D2H sync
 
