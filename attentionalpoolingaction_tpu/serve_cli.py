@@ -148,11 +148,24 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 # so the BaseHTTPRequestHandler send path (which needs a
                 # parsed request) is not usable here
                 stats.inc("serving_conn_rejected_total")
+                import socket as socket_mod
                 try:
                     self.wfile.write(
                         b"HTTP/1.1 503 Service Unavailable\r\n"
                         b"Content-Length: 0\r\nConnection: close\r\n"
                         b"Retry-After: 1\r\n\r\n")
+                    self.wfile.flush()
+                    # Let the client READ the 503: a real client has
+                    # already sent its request, and closing a socket
+                    # with unread received data sends RST — which
+                    # discards the peer's pending readable data, turning
+                    # the graceful backpressure signal into ECONNRESET.
+                    # Half-close our write side (response + FIN go out),
+                    # then briefly drain what the client sent.
+                    self.connection.shutdown(socket_mod.SHUT_WR)
+                    self.connection.settimeout(1.0)
+                    while self.connection.recv(4096):
+                        pass
                 except OSError:
                     pass
                 return
@@ -218,7 +231,22 @@ def make_server(predictor: serving.Predictor, host: str, port: int,
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n)
+                try:
+                    body = self.rfile.read(n)
+                except TimeoutError:
+                    # idle_timeout fired MID-BODY (client stalled while
+                    # uploading): the stream is desynced — a 500 +
+                    # keep-alive here would parse the body's remaining
+                    # bytes as the next request line, so drop the
+                    # connection like an idle-read timeout does.  Scoped
+                    # to the body read only: since py3.11
+                    # concurrent.futures.TimeoutError IS TimeoutError,
+                    # a blanket catch would misfile a device-stall
+                    # future timeout (a real 500) as a client stall.
+                    self.close_connection = True
+                    stats.inc("serving_client_disconnects_total")
+                    observe_once()
+                    return
                 if self.path == "/predict":
                     # decode HERE (handler thread): parallel across
                     # requests, and a bad image fails fast without

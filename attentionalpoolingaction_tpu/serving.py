@@ -591,21 +591,11 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, item) -> Future:
-        fut: Future = Future()
-        with self._submit_lock:
-            if self._stop.is_set():
-                fut.set_exception(RuntimeError("batcher is shut down"))
-                return fut
-            if self.max_queue is not None and (
-                    self._q.qsize() >= self.max_queue):
-                # fast-fail BEFORE enqueueing: the caller answers 429 now
-                # rather than discovering the overload at result() timeout
-                self.stats.inc("serving_rejected_total")
-                raise Overloaded(
-                    f"request queue full ({self.max_queue} pending)")
-            self._q.put((item, fut))
-            self.stats.set_gauge("serving_queue_depth", self._q.qsize())
-        return fut
+        """Fast-fail admission for one item — delegates to
+        :meth:`submit_many` so the check+put critical section exists
+        exactly once (a fix to either path cannot silently miss the
+        other)."""
+        return self.submit_many([item])[0]
 
     def submit_many(self, items) -> list[Future]:
         """Atomically admit a whole multi-item request: either EVERY item
@@ -633,6 +623,9 @@ class DynamicBatcher:
                 # serving_requests_total (which /predict_batch counts
                 # per item)
                 self.stats.inc("serving_rejected_total", len(items))
+                if len(items) == 1:   # the single-submit wording
+                    raise Overloaded(
+                        f"request queue full ({self.max_queue} pending)")
                 raise Overloaded(
                     f"request queue cannot admit {len(items)} items "
                     f"({self._q.qsize()}/{self.max_queue} pending)"

@@ -19,10 +19,11 @@ forwards — three ways on synthetic in-memory batches:
     timeout 900 python -u scripts/tpu_eval_pipeline_bench.py
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

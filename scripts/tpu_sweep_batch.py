@@ -25,6 +25,10 @@ import jax
 
 import bench
 
+bench._setup_compilation_cache()   # share bench.py's persistent XLA
+                                   # cache: the 448px compiles through
+                                   # the tunnel dominate a cold sweep
+
 SWEEPS = {
     # point -> (fn, kwargs-constant, batch candidates)
     "fwd448": (bench.bench_forward,

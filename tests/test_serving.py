@@ -1173,3 +1173,76 @@ def test_connection_cap_rejects_with_503(predictor):
         server.batcher.stop()
         server.server_close()
         t.join(timeout=5)
+
+def test_midbody_stall_closes_connection_not_500(predictor):
+    """A client that stalls mid-body past idle_timeout desyncs the HTTP
+    stream — the server must DROP the connection (client-disconnect
+    accounting), not write a 500 and keep parsing the stale body bytes
+    as the next request.  Scoped narrowly: a device-stall future timeout
+    must still take the 500 path (same exception class since py3.11)."""
+    import socket
+
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=1, max_batch=4,
+                         max_wait_ms=2.0, idle_timeout=0.5)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    before_err = predictor.stats.snapshot().get(
+        "serving_internal_errors_total", 0)
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    try:
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 1000\r\n\r\n" + b"x" * 10)  # stall
+        s.settimeout(10)
+        data = _read_http_response(s)
+        assert data == b""             # closed, no response written
+        snap = predictor.stats.snapshot()
+        assert snap.get("serving_client_disconnects_total", 0) >= 1
+        assert snap.get("serving_internal_errors_total", 0) == before_err
+    finally:
+        s.close()
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
+
+
+def test_over_cap_503_reaches_client_that_already_sent(predictor):
+    """The over-cap 503 must survive a client that already sent its
+    request: closing a socket with unread received bytes sends RST,
+    which discards the peer's pending readable data — the server now
+    half-closes (SHUT_WR) and drains so the 503 + Connection: close is
+    actually readable instead of ECONNRESET."""
+    import socket
+
+    from attentionalpoolingaction_tpu.serve_cli import make_server
+
+    server = make_server(predictor, "127.0.0.1", 0, topk=1, max_batch=4,
+                         max_wait_ms=2.0, idle_timeout=30.0,
+                         max_connections=1)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    socks = []
+    try:
+        s1 = socket.create_connection(("127.0.0.1", port), timeout=10)
+        socks.append(s1)
+        s1.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        assert b"200" in _read_http_response(s1)   # cap now full
+        s2 = socket.create_connection(("127.0.0.1", port), timeout=10)
+        socks.append(s2)
+        # the request is in flight BEFORE the server responds — the
+        # pre-fix close-with-unread-data RST destroyed the 503 here
+        s2.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        s2.settimeout(10)
+        data = _read_http_response(s2)
+        assert b"503" in data and b"Connection: close" in data
+    finally:
+        for s in socks:
+            s.close()
+        server.shutdown()
+        server.batcher.stop()
+        server.server_close()
+        t.join(timeout=5)
